@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU platform before JAX
+import so multi-chip sharding paths are exercised without TPU hardware
+(mirrors the reference's LocalNetwork single-machine test strategy,
+/root/reference/mpc-net/src/local.rs + SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: driver env pins the TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC05)
