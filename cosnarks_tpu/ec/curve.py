@@ -1,0 +1,217 @@
+"""Vectorized short-Weierstrass (a=0) Jacobian curve kernels, generic over
+the coordinate field ops (Fq for G1, Fq2 for G2).
+
+TPU-native counterpart of arkworks ark-ec group arithmetic the reference
+leans on for MSMs (co-groth16/src/groth16.rs:221-288). Points are pytrees
+(X, Y, Z) of limb arrays; infinity is encoded as Z == 0 and handled
+branchlessly with selects so everything jits/vmaps with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ff.bigint import LIMB_BITS
+from ..ff.spec import BLS12_381_FQ, BLS12_381_FR, BN254_FQ, BN254_FR, Field
+from .ops import Fq2Ops, FqOps
+
+
+class CurveSpec:
+    """A curve group: coordinate ops + scalar field + generator/b constant."""
+
+    def __init__(self, name, coord_ops, scalar_field: Field, b, generator):
+        self.name = name
+        self.ops = coord_ops
+        self.scalar_field = scalar_field
+        self.b = b  # host int (Fq) or (c0, c1) (Fq2)
+        self.generator = generator  # host affine (x, y)
+
+    def __hash__(self):
+        return hash(("curve", self.name))
+
+    def __eq__(self, other):
+        return isinstance(other, CurveSpec) and other.name == self.name
+
+    def __repr__(self):
+        return f"CurveSpec({self.name})"
+
+
+def point_inf(spec: CurveSpec, shape=()):
+    o = spec.ops
+    return (o.one(shape), o.one(shape), o.zeros(shape))
+
+
+def is_inf(spec: CurveSpec, P):
+    return spec.ops.is_zero(P[2])
+
+
+def neg(spec: CurveSpec, P):
+    X, Y, Z = P
+    return (X, spec.ops.neg(Y), Z)
+
+
+def select_point(spec: CurveSpec, mask, P, Q):
+    sel = spec.ops.select
+    return tuple(sel(mask, a, b) for a, b in zip(P, Q))
+
+
+def _mulstack(o, xs, ys):
+    """One batched field-mul over stacked independent products.
+
+    Collapsing independent muls into a single (k, ...) mul keeps traced
+    graphs small (compile time) and feeds the VPU bigger batches (runtime).
+    """
+    r = o.mul(jnp.stack(xs), jnp.stack(ys))
+    return tuple(r[i] for i in range(len(xs)))
+
+
+def double(spec: CurveSpec, P):
+    """dbl-2009-l (a=0). Infinity (Z=0) maps to infinity automatically."""
+    o = spec.ops
+    X, Y, Z = P
+    A, B, YZ = _mulstack(o, (X, Y, Y), (X, Y, Z))  # X^2, Y^2, Y*Z
+    XB = o.add(X, B)
+    C, T = _mulstack(o, (B, XB), (B, XB))  # B^2, (X+B)^2
+    D = o.double(o.sub(T, o.add(A, C)))
+    E = o.add(o.double(A), A)
+    F = o.mul(E, E)
+    X3 = o.sub(F, o.double(D))
+    C8 = o.double(o.double(o.double(C)))
+    Y3 = o.sub(o.mul(E, o.sub(D, X3)), C8)
+    Z3 = o.double(YZ)
+    return (X3, Y3, Z3)
+
+
+def add(spec: CurveSpec, P, Q):
+    """Complete Jacobian add (add-2007-bl + select-based edge handling):
+    correct for P=inf, Q=inf, P=Q (falls back to double), P=-Q (-> inf)."""
+    o = spec.ops
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1, Z2Z2, t1, t2 = _mulstack(o, (Z1, Z2, Y1, Y2), (Z1, Z2, Z2, Z1))
+    Z12 = o.add(Z1, Z2)
+    U1, U2, S1, S2, W = _mulstack(
+        o, (X1, X2, t1, t2, Z12), (Z2Z2, Z1Z1, Z2Z2, Z1Z1, Z12)
+    )
+    H = o.sub(U2, U1)
+    rhalf = o.sub(S2, S1)
+    H2 = o.double(H)
+    r = o.double(rhalf)
+    I, r2 = _mulstack(o, (H2, r), (H2, r))
+    J, V, Z3 = _mulstack(
+        o, (H, U1, o.sub(W, o.add(Z1Z1, Z2Z2))), (I, I, H)
+    )
+    X3 = o.sub(r2, o.add(J, o.double(V)))
+    rVX, S1J = _mulstack(o, (r, S1), (o.sub(V, X3), J))
+    Y3 = o.sub(rVX, o.double(S1J))
+
+    p_inf = o.is_zero(Z1)
+    q_inf = o.is_zero(Z2)
+    h_zero = o.is_zero(H)
+    r_zero = o.is_zero(rhalf)
+    finite = ~(p_inf | q_inf)
+    same = h_zero & r_zero & finite
+    cancel = h_zero & ~r_zero & finite  # P = -Q
+
+    res = (X3, Y3, jnp.where(_bmask(o, cancel), jnp.zeros_like(Z3), Z3))
+    res = select_point(spec, same, double(spec, P), res)
+    res = select_point(spec, p_inf, Q, res)
+    res = select_point(spec, q_inf, P, res)
+    return res
+
+
+def _bmask(o, mask):
+    extra = (1,) * o.coord_ndim
+    return mask.reshape(mask.shape + extra)
+
+
+def add_unsafe(spec: CurveSpec, P, Q):
+    """Jacobian add handling infinities but NOT P == +-Q (undefined there).
+
+    ~30% cheaper than :func:`add`; safe when summands are distinct with
+    cryptographic probability (e.g. bucket reduction over random shares).
+    """
+    o = spec.ops
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1, Z2Z2, t1, t2 = _mulstack(o, (Z1, Z2, Y1, Y2), (Z1, Z2, Z2, Z1))
+    Z12 = o.add(Z1, Z2)
+    U1, U2, S1, S2, W = _mulstack(
+        o, (X1, X2, t1, t2, Z12), (Z2Z2, Z1Z1, Z2Z2, Z1Z1, Z12)
+    )
+    H = o.sub(U2, U1)
+    H2 = o.double(H)
+    r = o.double(o.sub(S2, S1))
+    I, r2 = _mulstack(o, (H2, r), (H2, r))
+    J, V, Z3 = _mulstack(
+        o, (H, U1, o.sub(W, o.add(Z1Z1, Z2Z2))), (I, I, H)
+    )
+    X3 = o.sub(r2, o.add(J, o.double(V)))
+    rVX, S1J = _mulstack(o, (r, S1), (o.sub(V, X3), J))
+    Y3 = o.sub(rVX, o.double(S1J))
+    res = (X3, Y3, Z3)
+    res = select_point(spec, o.is_zero(Z1), Q, res)
+    res = select_point(spec, o.is_zero(Z2), P, res)
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def scalar_mul(spec: CurveSpec, P, scalar_std):
+    """P * scalar, scalar as standard-form (non-Montgomery) limb array.
+
+    Data-dependent bits -> fori_loop over the full bit width with selects
+    (used for the few per-proof scalar muls, e.g. [r]*delta_g1,
+    groth16.rs:224; MSMs use the Pippenger path instead).
+    """
+    f = spec.scalar_field
+    nbits = f.nlimbs * LIMB_BITS
+
+    def body(i, acc):
+        k = nbits - 1 - i  # traced loop index
+        limb = jnp.take(scalar_std, k // LIMB_BITS, axis=-1)
+        bit = (limb >> (k % LIMB_BITS).astype(jnp.uint32)) & np.uint32(1)
+        acc = double(spec, acc)
+        added = add(spec, acc, P)
+        return select_point(spec, bit.astype(bool), added, acc)
+
+    shape = P[0].shape[: -spec.ops.coord_ndim]
+    return jax.lax.fori_loop(0, nbits, body, point_inf(spec, shape))
+
+
+# --------------------------------------------------------------------------
+# host <-> device
+# --------------------------------------------------------------------------
+
+def encode_points(spec: CurveSpec, affine_points):
+    """Host affine points [(x, y) | None(=inf)] -> device Jacobian arrays."""
+    o = spec.ops
+    n = len(affine_points)
+    zero_c = (0, 0) if o.coord_ndim == 2 else 0
+    one_c = (1, 0) if o.coord_ndim == 2 else 1
+    xs, ys, zs = [], [], []
+    for pt in affine_points:
+        if pt is None:
+            xs.append(one_c)
+            ys.append(one_c)
+            zs.append(zero_c)
+        else:
+            xs.append(pt[0])
+            ys.append(pt[1])
+            zs.append(one_c)
+    return (o.encode(xs), o.encode(ys), o.encode(zs))
+
+
+def decode_points(spec: CurveSpec, P):
+    """Device Jacobian points -> host affine [(x, y) | None]; host-side inv."""
+    o = spec.ops
+    xs = o.decode(P[0])
+    ys = o.decode(P[1])
+    zs = o.decode(P[2])
+    from . import host
+
+    hc = host.host_curve(spec)
+    return [hc.jac_to_affine((x, y, z)) for x, y, z in zip(xs, ys, zs)]

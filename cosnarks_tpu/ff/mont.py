@@ -73,20 +73,29 @@ def _shift_right_cols(x, k, width):
 def _product_columns(field: Field, a, b):
     """Full product of a*b as 2n columns, column values < 2*n*2**16 < 2**22.
 
-    Schoolbook row scan: n fused multiply/split/pad/add passes over (..., 2n)
-    accumulators — no gathers, so XLA fuses the whole chain into one loop
-    fusion with an O(batch * 2n) working set (a gather-based antidiagonal
-    formulation OOMed HBM at 2^20 batch).
+    Schoolbook row scan as a fori_loop (graph stays ~10 ops regardless of
+    limb count — unrolled versions made downstream EC/MSM graphs so large
+    that XLA compiles took minutes). Working set is O(batch * 2n) uint32.
     """
     n = field.nlimbs
     w = 2 * n
-    cols = jnp.zeros(a.shape[:-1] + (w,), dtype=U32)
-    for i in range(n):
-        pi = a[..., i : i + 1] * b  # (..., n) uint32, exact (16x16-bit)
+    zcol = jnp.zeros(a.shape[:-1] + (1,), dtype=U32)
+
+    def body(i, cols):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # (..., 1)
+        pi = ai * b  # (..., n) uint32, exact (16x16-bit)
         lo = pi & MASK
         hi = pi >> LIMB_BITS
-        cols = cols + _shift_right_cols(lo, i, w) + _shift_right_cols(hi, i + 1, w)
-    return cols  # (..., 2n)
+        seg = jax.lax.dynamic_slice_in_dim(cols, i, n + 1, axis=-1)
+        seg = (
+            seg
+            + jnp.concatenate([lo, zcol], axis=-1)
+            + jnp.concatenate([zcol, hi], axis=-1)
+        )
+        return jax.lax.dynamic_update_slice_in_dim(cols, seg, i, axis=-1)
+
+    cols = jnp.zeros(a.shape[:-1] + (w,), dtype=U32)
+    return jax.lax.fori_loop(0, n, body, cols)
 
 
 def _propagate(cols, out_len):
@@ -101,29 +110,37 @@ def _propagate(cols, out_len):
     hi_shift = _pad_to(jnp.concatenate([jnp.zeros_like(hi[..., :1]), hi], axis=-1),
                        out_len)[..., :out_len]
     t = t + hi_shift  # < 2**18
-    out = []
-    carry = jnp.zeros_like(t[..., 0])
-    for j in range(out_len):
-        s = t[..., j] + carry
-        out.append(s & MASK)
-        carry = s >> LIMB_BITS
-    return jnp.stack(out, axis=-1)
+
+    def step(carry, x):
+        s = x + carry
+        return s >> LIMB_BITS, s & MASK
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(t[..., 0]), jnp.moveaxis(t, -1, 0))
+    return jnp.moveaxis(out, 0, -1)
+
+
+def _borrow_chain(t, u):
+    """Limb-wise t - u with borrow chain; returns (diff, final_borrow).
+
+    u is a (n,) constant-like array broadcast against t's batch dims.
+    """
+
+    def step(borrow, xs):
+        x, uj = xs
+        s = x + np.uint32(1 << LIMB_BITS) - uj - borrow
+        return np.uint32(1) - (s >> LIMB_BITS), s & MASK
+
+    borrow, d = jax.lax.scan(
+        step, jnp.zeros_like(t[..., 0]), (jnp.moveaxis(t, -1, 0), u)
+    )
+    return jnp.moveaxis(d, 0, -1), borrow
 
 
 def _cond_sub_p(field: Field, t):
     """t (canonical-width limbs, value < 2p) -> t mod p."""
-    c = _consts(field)
-    p = jnp.asarray(c["p"])
-    n = field.nlimbs
-    borrow = jnp.zeros_like(t[..., 0])
-    diffs = []
-    for j in range(n):
-        s = t[..., j] + np.uint32(1 << LIMB_BITS) - p[j] - borrow
-        diffs.append(s & MASK)
-        borrow = np.uint32(1) - (s >> LIMB_BITS)
-    d = jnp.stack(diffs, axis=-1)
-    ge = (borrow == 0)[..., None]
-    return jnp.where(ge, d, t)
+    p = jnp.asarray(_consts(field)["p"])
+    d, borrow = _borrow_chain(t, p)
+    return jnp.where((borrow == 0)[..., None], d, t)
 
 
 def _mont_reduce_columns(field: Field, cols):
@@ -136,20 +153,28 @@ def _mont_reduce_columns(field: Field, cols):
     n = field.nlimbs
     p = jnp.asarray(c["p"])
     n0inv = c["n0inv"]
-    t = cols
-    for _ in range(n):
-        m = (t[..., 0] * n0inv) & MASK
-        mp = m[..., None] * p  # (..., n) uint32 exact
+    zcol = jnp.zeros(cols.shape[:-1] + (1,), dtype=U32)
+
+    def body(i, t):
+        ti = jax.lax.dynamic_slice_in_dim(t, i, 1, axis=-1)  # (..., 1)
+        m = (ti * n0inv) & MASK
+        mp = m * p  # (..., n) uint32 exact
         lo = mp & MASK
         hi = mp >> LIMB_BITS
-        carry = (t[..., 0] + lo[..., 0]) >> LIMB_BITS
-        rest_len = t.shape[-1] - 1
-        t = (
-            t[..., 1:]
-            + _pad_to(lo[..., 1:], rest_len)
-            + _pad_to(hi, rest_len)
-            + _pad_to(carry[..., None], rest_len)
+        seg = jax.lax.dynamic_slice_in_dim(t, i, n + 1, axis=-1)
+        seg = (
+            seg
+            + jnp.concatenate([lo, zcol], axis=-1)
+            + jnp.concatenate([zcol, hi], axis=-1)
         )
+        # seg[0] = 0 mod 2^16 by construction; fold its carry into seg[1]
+        carry = seg[..., 0:1] >> LIMB_BITS
+        seg = jnp.concatenate(
+            [seg[..., 0:1] & MASK, seg[..., 1:2] + carry, seg[..., 2:]], axis=-1
+        )
+        return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=-1)
+
+    t = jax.lax.fori_loop(0, n, body, cols)[..., n:]
     t = _propagate(t, n)
     return _cond_sub_p(field, t)
 
@@ -197,26 +222,22 @@ def add(field: Field, a, b):
 
 @functools.partial(jax.jit, static_argnums=0)
 def sub(field: Field, a, b):
-    c = _consts(field)
-    p = jnp.asarray(c["p"])
-    n = field.nlimbs
-    borrow = jnp.zeros_like(a[..., 0])
-    diffs = []
-    for j in range(n):
-        s = a[..., j] + np.uint32(1 << LIMB_BITS) - b[..., j] - borrow
-        diffs.append(s & MASK)
-        borrow = np.uint32(1) - (s >> LIMB_BITS)
-    d = jnp.stack(diffs, axis=-1)
+    p = jnp.asarray(_consts(field)["p"])
+    if a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
+    d, borrow = _borrow_chain(a, jnp.moveaxis(b, -1, 0))
     underflow = (borrow != 0)[..., None]
-    # if a < b: result = a - b + p
-    carry = jnp.zeros_like(a[..., 0])
-    sums = []
-    for j in range(n):
-        s = d[..., j] + p[j] + carry
-        sums.append(s & MASK)
-        carry = s >> LIMB_BITS
-    dp = jnp.stack(sums, axis=-1)
-    return jnp.where(underflow, dp, d)
+
+    # if a < b: result = a - b + p (carry-chain add of p)
+    def step(carry, xs):
+        x, pj = xs
+        s = x + pj + carry
+        return s >> LIMB_BITS, s & MASK
+
+    _, dp = jax.lax.scan(
+        step, jnp.zeros_like(d[..., 0]), (jnp.moveaxis(d, -1, 0), p)
+    )
+    return jnp.where(underflow, jnp.moveaxis(dp, 0, -1), d)
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -1,0 +1,34 @@
+"""Plain Groth16 verifier (host-side), snarkjs-compatible.
+
+Mirrors the reference verifier (co-groth16/src/verifier.rs, used by the
+`verify` CLI subcommand co-circom.rs:1040+). Cheap host work: one small IC
+MSM + a 4-pairing product check.
+"""
+
+from __future__ import annotations
+
+from ..ec import curves, host
+from ..pairing import bn254
+
+
+def verify_bn254(vk: dict, proof: dict, public_inputs: list[int]) -> bool:
+    """vk/proof as jsonio dicts (host int points), public_inputs as ints.
+
+    Checks e(-A, B) * e(alpha, beta) * e(vk_x, gamma) * e(C, delta) == 1.
+    """
+    if len(public_inputs) != vk["n_public"]:
+        return False
+    g1 = host.host_curve(curves.BN254_G1)
+    acc = g1.lift_affine(vk["ic"][0])
+    for ic_pt, x in zip(vk["ic"][1:], public_inputs):
+        acc = g1.add(acc, g1.mul(g1.lift_affine(ic_pt), x))
+    vk_x = g1.affine_ints(acc)
+
+    return bn254.pairing_product_is_one(
+        [
+            (bn254.g1_neg(proof["a"]), proof["b"]),
+            (vk["alpha_g1"], vk["beta_g2"]),
+            (vk_x, vk["gamma_g2"]),
+            (proof["c"], vk["delta_g2"]),
+        ]
+    )

@@ -1,0 +1,82 @@
+"""Party-to-party network abstraction.
+
+TPU-native split of the reference's mpc-net (SURVEY.md L1): this layer is
+*inter-party* transport only (the reference's `Network` trait,
+mpc-net/src/lib.rs:34-63 — id / send(to) / recv(from) / ordered per peer);
+*intra-party* scale-out is jax.sharding collectives, not sockets.
+
+Messages are arbitrary pytrees of jax/numpy arrays; transports that cross
+process boundaries serialize leaves as raw little-endian buffers.
+"""
+
+from __future__ import annotations
+
+import abc
+import pickle
+
+import jax
+import numpy as np
+
+
+class Network(abc.ABC):
+    """Blocking, per-peer-ordered message transport for one party."""
+
+    id: int
+    n_parties: int
+
+    @abc.abstractmethod
+    def send(self, to: int, msg) -> None: ...
+
+    @abc.abstractmethod
+    def recv(self, frm: int): ...
+
+    # -- protocol sugar (mirrors Rep3NetworkExt, rep3/network.rs:12-100) ----
+    @property
+    def next_id(self) -> int:
+        return (self.id + 1) % self.n_parties
+
+    @property
+    def prev_id(self) -> int:
+        return (self.id - 1) % self.n_parties
+
+    def reshare(self, msg):
+        """Send to next party, receive from previous (rep3 reshare round)."""
+        self.send(self.next_id, msg)
+        return self.recv(self.prev_id)
+
+    def reshare_backward(self, msg):
+        """Send to previous party, receive from next."""
+        self.send(self.prev_id, msg)
+        return self.recv(self.next_id)
+
+    def broadcast(self, msg):
+        """Send to all others; receive from all others (deadlock-free order:
+        send ascending, then receive ascending, cf. rep3/network.rs:64-74).
+        Returns dict {party_id: msg}."""
+        for p in range(self.n_parties):
+            if p != self.id:
+                self.send(p, msg)
+        return {
+            p: self.recv(p) for p in range(self.n_parties) if p != self.id
+        }
+
+    def stats(self) -> dict:
+        """Per-peer byte counters (ConnectionStats, mpc-net/src/lib.rs:88)."""
+        return getattr(self, "_stats", {})
+
+    def _count(self, peer: int, nbytes: int, sent: bool):
+        st = self.__dict__.setdefault("_stats", {})
+        key = (peer, "sent" if sent else "recv")
+        st[key] = st.get(key, 0) + nbytes
+
+
+def to_wire(msg) -> bytes:
+    """Pytree of arrays -> bytes (host transfer of device arrays included)."""
+    leaves, treedef = jax.tree.flatten(msg)
+    host_leaves = [np.asarray(jax.device_get(x)) for x in leaves]
+    return pickle.dumps((treedef, host_leaves), protocol=4)
+
+
+def from_wire(data: bytes):
+    treedef, host_leaves = pickle.loads(data)
+    return jax.tree.unflatten(treedef, host_leaves)

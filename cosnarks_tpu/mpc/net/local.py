@@ -1,0 +1,76 @@
+"""In-process queue-based network for tests/benches — the counterpart of the
+reference's LocalNetwork (crossbeam channels, mpc-net/src/local.rs:13-64).
+
+Parties run as threads in one process; messages pass by reference (device
+arrays are immutable, so zero-copy is safe). A send timeout doubles as the
+deadlock detector the reference gets from bounded channels (local.rs:74-78).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+from .base import Network
+
+
+class LocalNetwork(Network):
+    def __init__(self, my_id: int, n_parties: int, mailboxes):
+        self.id = my_id
+        self.n_parties = n_parties
+        self._mailboxes = mailboxes  # mailboxes[receiver][sender] -> Queue
+
+    @classmethod
+    def make(cls, n_parties: int, timeout: float = 120.0):
+        mailboxes = [
+            [queue.Queue() for _ in range(n_parties)] for _ in range(n_parties)
+        ]
+        nets = [cls(i, n_parties, mailboxes) for i in range(n_parties)]
+        for n in nets:
+            n._timeout = timeout
+        return nets
+
+    def send(self, to: int, msg) -> None:
+        self._mailboxes[to][self.id].put(msg)
+
+    def recv(self, frm: int):
+        try:
+            return self._mailboxes[self.id][frm].get(
+                timeout=getattr(self, "_timeout", 120.0)
+            )
+        except queue.Empty:
+            raise TimeoutError(
+                f"party {self.id}: recv from {frm} timed out (deadlock?)"
+            )
+
+
+def run_parties(fns, n_parties: int | None = None, timeout: float = 600.0):
+    """Run one closure per party on threads over a LocalNetwork; returns
+    their results in party order. Mirrors the reference test harness pattern
+    (tests/tests/circom/e2e_tests/rep3.rs:57-70)."""
+    if n_parties is None:
+        n_parties = len(fns)
+    nets = LocalNetwork.make(n_parties)
+    results: list = [None] * n_parties
+    errors: list = [None] * n_parties
+
+    def runner(i):
+        try:
+            results[i] = fns[i](nets[i])
+        except BaseException as e:  # noqa: BLE001 - surface to main thread
+            errors[i] = e
+
+    threads = [
+        threading.Thread(target=runner, args=(i,), daemon=True)
+        for i in range(n_parties)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=timeout)
+        if t.is_alive():
+            raise TimeoutError("party thread did not finish")
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
