@@ -118,6 +118,31 @@ def _horner_combine(spec: CurveSpec, window_sums, c: int):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _msm_small(spec: CurveSpec, points, scalars_std):
+    """Direct MSM for tiny N: batched double-and-add + log-depth tree sum.
+
+    Avoids the Pippenger machinery whose per-window graphs dominate compile
+    time when N is small (e.g. the handful-of-points query MSMs in Groth16
+    test circuits)."""
+    acc = ec.scalar_mul(spec, points, scalars_std)
+    n = points[0].shape[0]
+    while n > 1:
+        half = (n + 1) // 2
+        lo = tuple(x[:half] for x in acc)
+        hi = tuple(x[half : 2 * half] for x in acc)
+        if hi[0].shape[0] < half:
+            pad = half - hi[0].shape[0]
+            inf = ec.point_inf(spec, (pad,))
+            hi = tuple(
+                jnp.concatenate([h, jnp.broadcast_to(i, (pad,) + h.shape[1:])])
+                for h, i in zip(hi, inf)
+            )
+        acc = ec.add(spec, lo, hi)
+        n = half
+    return tuple(x[0] for x in acc)
+
+
 def default_window(n: int) -> int:
     if n >= 1 << 15:
         return 16
@@ -135,8 +160,11 @@ def msm(spec: CurveSpec, points, scalars_std, c: int | None = None,
     once per (N, c, chunk) signature) plus one jitted Horner combine.
     """
     N = points[0].shape[0]
+    if N <= 64:
+        return _msm_small(spec, points, scalars_std)
     if c is None:
         c = default_window(N)
+    chunk = min(chunk, max(32, 1 << max(0, N - 1).bit_length()))
     if N % chunk != 0:
         pad = -N % chunk if N > chunk else chunk - N
         zpad = lambda x: jnp.concatenate(

