@@ -1,0 +1,76 @@
+"""Round benchmark: shared-MSM throughput per chip (BN254 G1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+This is the BASELINE.md "shared-MSM points/sec/chip" metric: in the Rep3
+co-Groth16 prover each party runs plain MSMs over its additive half-shares
+(reference msm_public_points_hs, co-groth16/src/mpc/rep3.rs), so per-chip
+plain-MSM throughput IS the shared-MSM throughput. The reference publishes
+no numbers (BASELINE.md); vs_baseline is measured against a documented
+proxy of 2.0e6 points/s (order of magnitude of arkworks' rayon MSM on a
+multicore host CPU, the reference's compute substrate).
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+BASELINE_PROXY_PTS_PER_SEC = 2.0e6
+
+N = 1 << 16
+WINDOW = 8
+CHUNK = 1 << 12
+
+
+def main():
+    from cosnarks_tpu.ec import curve as ec, msm
+    from cosnarks_tpu.ec.curves import BN254_G1 as spec
+    from cosnarks_tpu.ff import mont
+
+    F = spec.scalar_field
+    rng = np.random.default_rng(0xBE7C)
+
+    # synthetic random points: batched [k_i]G on-device (generation untimed)
+    gen = ec.encode_points(spec, [spec.generator])
+    genN = tuple(jnp.broadcast_to(x[0], (N,) + x.shape[1:]) for x in gen)
+    ks = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
+    points = ec.scalar_mul(spec, genN, jnp.asarray(ks))
+    jax.block_until_ready(points)
+
+    scalars = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
+    scalars[:, -1] &= (1 << 13) - 1  # canonical (< p)
+    scalars = jnp.asarray(scalars)
+
+    def run():
+        return msm.msm(spec, points, scalars, c=WINDOW, chunk=CHUNK)
+
+    jax.block_until_ready(run())  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        jax.block_until_ready(run())
+        times.append(time.time() - t0)
+    best = min(times)
+    value = N / best
+    print(
+        json.dumps(
+            {
+                "metric": "shared-MSM points/sec/chip (BN254 G1, 2^16 points)",
+                "value": round(value, 1),
+                "unit": "points/s",
+                "vs_baseline": round(value / BASELINE_PROXY_PTS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,14 @@ from ..ff import mont
 from ..ff.spec import Field
 
 
+def _host_mont_limbs(field: Field, values: list[int]) -> np.ndarray:
+    """Host-side Montgomery limb encoding (numpy, safe to cache anywhere)."""
+    from ..ff.bigint import ints_to_limbs
+
+    return ints_to_limbs([field.to_mont_int(v % field.p) for v in values],
+                         field.nlimbs)
+
+
 @functools.lru_cache(maxsize=None)
 def _bit_reverse_perm(k: int) -> np.ndarray:
     n = 1 << k
@@ -64,9 +72,11 @@ class Domain:
                 for _ in range(half):
                     powers.append(pw)
                     pw = pw * w % p
-                tables.append(mont.encode(self.field, powers))
+                # cache HOST limbs: device arrays created inside a jit trace
+                # would poison the cache with tracers (JAX >= 0.9)
+                tables.append(_host_mont_limbs(self.field, powers))
             self._twiddles[key] = tables
-        return self._twiddles[key]
+        return [jnp.asarray(t) for t in self._twiddles[key]]
 
     def fft(self, x):
         """Coefficients -> evaluations on the domain (axis -2 of size N)."""
@@ -86,8 +96,8 @@ class Domain:
             for _ in range(self.size):
                 powers.append(pw)
                 pw = pw * g % p
-            self._powers[g] = mont.encode(self.field, powers)
-        return mont.mul(self.field, x, self._powers[g])
+            self._powers[g] = _host_mont_limbs(self.field, powers)
+        return mont.mul(self.field, x, jnp.asarray(self._powers[g]))
 
     def elements(self):
         """Host list of domain elements [1, g, g^2, ...]."""
