@@ -128,6 +128,61 @@ class Rep3Driver:
         return pt
 
 
+class ShamirDriver:
+    """n-party Shamir driver (mpc/shamir.rs): shares are single arrays; a
+    degree-t share is a valid degree-2t "half share", and half-point opens
+    interpolate 2t+1 contributions in the exponent."""
+
+    def __init__(self, net, state):
+        from ..mpc import shamir
+
+        self.net = net
+        self.state = state
+        self.id = net.id
+        self._sh = shamir
+
+    def full_witness(self, field, public_ints, private):
+        pub = mont.encode(field, public_ints)  # constant-poly shares
+        return jnp.concatenate([pub, private], axis=0)
+
+    def matvec(self, field, rows, cols, vals, w, out):
+        return wm.sparse_matvec(field, rows, cols, vals, w, out)
+
+    def map_share(self, fn, x):
+        return fn(x)
+
+    def local_mul_vec(self, field, a, b):
+        return mont.mul(field, a, b)  # degree-2t half shares
+
+    def rand(self, field):
+        return self._sh.rand(field, self.state)
+
+    def local_mul_scalar(self, field, r, s):
+        return mont.mul(field, r, s)
+
+    def to_half(self, x):
+        return x
+
+    def rand_to_half(self, r):
+        return r
+
+    def open_half_point(self, spec, pt):
+        return self._sh.open_point(
+            spec, pt, self.net, self.state, degree=2 * self.state.t
+        )
+
+    def scalar_mul_half_point(self, spec, pt_half, r):
+        reduced = self._sh.degree_reduce_point(
+            spec, pt_half, self.net, self.state
+        )
+        return ec.scalar_mul(
+            spec, reduced, mont.from_mont(spec.scalar_field, r)
+        )
+
+    def add_public_point(self, spec, pt, public_pt):
+        return ec.add(spec, pt, public_pt)  # constant shift on every share
+
+
 def msm_half(spec, points, scalars_mont):
     """MSM of public points with additive-share scalars: each party runs a
     full plain MSM over its own summands (msm_public_points_hs)."""
