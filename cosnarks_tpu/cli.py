@@ -1,0 +1,251 @@
+"""co-circom-compatible CLI: the staged file-based pipeline.
+
+Mirrors the reference binary's subcommands (co-circom/src/bin/
+co-circom.rs:560-657): split-witness, split-input, merge-input-shares,
+generate-proof, translate-witness, verify (generate-witness lands with the
+circom frontend). Config layering: CLI args > env (COSNARKS_*) > TOML.
+
+Run one party per process:
+  python -m cosnarks_tpu generate-proof groth16 --zkey c.zkey \
+      --witness witness.0.shared --config party0.toml --out proof.json
+or all parties in one process for local testing with --local-parties 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+
+
+def _net_from_config(path: str):
+    import tomllib
+
+    from .mpc.net.tcp import TcpNetwork
+
+    with open(path, "rb") as fh:
+        cfg = tomllib.load(fh)
+    parties = sorted(cfg["parties"], key=lambda p: p["id"])
+    addrs = []
+    for p in parties:
+        host, port = p["dns_name"].rsplit(":", 1)
+        addrs.append((host, int(port)))
+    return TcpNetwork.connect(cfg["my_id"], addrs)
+
+
+def cmd_split_witness(args):
+    from .ff.bigint import limbs_to_int
+    from .io import shared, wtns, zkey
+
+    zk = zkey.load_groth16_zkey(args.zkey)
+    _, w = wtns.load_wtns(args.witness)
+    wit = [limbs_to_int(x) for x in w]
+    n_inst = zk.n_public + 1
+    rng = random.SystemRandom()
+    if args.protocol == "REP3":
+        files = shared.split_witness_rep3(zk.fr, wit, n_inst, rng)
+    else:
+        files = shared.split_witness_shamir(
+            zk.fr, wit, n_inst, args.num_parties, args.threshold, rng
+        )
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.basename(args.witness)
+    for i, data in enumerate(files):
+        out = os.path.join(args.out_dir, f"{base}.{i}.shared")
+        with open(out, "wb") as fh:
+            fh.write(data)
+        print(f"wrote {out}")
+
+
+def cmd_split_input(args):
+    from .ff.spec import BLS12_381_FR, BN254_FR
+    from .io import shared
+
+    field = BN254_FR if args.curve == "BN254" else BLS12_381_FR
+    with open(args.input) as fh:
+        inputs = json.load(fh)
+    inputs = {k: v for k, v in inputs.items()}
+    rng = random.SystemRandom()
+    outs = shared.split_input_rep3(field, inputs, rng)
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.basename(args.input)
+    for i, data in enumerate(outs):
+        out = os.path.join(args.out_dir, f"{base}.{i}.shared")
+        with open(out, "w") as fh:
+            fh.write(data)
+        print(f"wrote {out}")
+
+
+def cmd_merge_input_shares(args):
+    from .io import shared
+
+    parts = [open(p).read() for p in args.inputs]
+    with open(args.out, "w") as fh:
+        fh.write(shared.merge_input_shares(parts))
+    print(f"wrote {args.out}")
+
+
+def _prove_one_party(zk, swf, net):
+    from .groth16 import drivers, prove
+    from .mpc import rep3 as rep3_mod
+    from .mpc import shamir as shamir_mod
+    from .io import shared as shared_mod
+
+    if swf.protocol == shared_mod.PROTO_REP3:
+        st = rep3_mod.Rep3State.setup(net)
+        driver = drivers.Rep3Driver(net, st)
+        witness = prove.SharedWitness(
+            swf.public_inputs, rep3_mod.Share(swf.share_a, swf.share_b)
+        )
+    else:
+        st = shamir_mod.ShamirState.setup(net, zk.fr, swf.threshold, pairs=64)
+        driver = drivers.ShamirDriver(net, st)
+        witness = prove.SharedWitness(swf.public_inputs, swf.share_a)
+    return prove.prove(driver, zk, witness)
+
+
+def cmd_generate_proof(args):
+    from .groth16 import prove
+    from .io import jsonio, shared, zkey
+
+    if args.proof_system != "groth16":
+        sys.exit("only groth16 is implemented so far (plonk planned)")
+    zk = zkey.load_groth16_zkey(args.zkey)
+
+    if args.local_parties:
+        # all parties in-process over LocalNetwork (testing convenience)
+        from .mpc.net.local import run_parties
+
+        swfs = [
+            shared.read_shared_witness(open(p, "rb").read())
+            for p in args.witness
+        ]
+        proofs = run_parties(
+            [lambda net, s=s: _prove_one_party(zk, s, net) for s in swfs]
+        )
+        proof = proofs[0]
+    else:
+        swf = shared.read_shared_witness(open(args.witness[0], "rb").read())
+        net = _net_from_config(args.config)
+        proof = _prove_one_party(zk, swf, net)
+
+    curve = "bn128" if zk.fr.name == "bn254_fr" else "bls12381"
+    with open(args.out, "w") as fh:
+        fh.write(jsonio.proof_to_json(proof, curve_name=curve))
+    if args.public_input:
+        swf0 = shared.read_shared_witness(open(args.witness[0], "rb").read())
+        with open(args.public_input, "w") as fh:
+            fh.write(jsonio.public_to_json(swf0.public_inputs[1:]))
+    print(f"wrote {args.out}")
+
+
+def cmd_translate_witness(args):
+    from .io import shared
+    from .mpc import bridges, rep3 as rep3_mod, shamir as shamir_mod
+
+    swf = shared.read_shared_witness(open(args.witness, "rb").read())
+    if swf.protocol != shared.PROTO_REP3:
+        sys.exit("translate-witness: source must be REP3")
+    net = _net_from_config(args.config)
+    st = shamir_mod.ShamirState.setup(
+        net, swf.field, 1, pairs=max(64, swf.share_a.shape[0] + 8)
+    )
+    sh = bridges.translate_rep3_to_shamir(
+        swf.field, rep3_mod.Share(swf.share_a, swf.share_b), net, st
+    )
+    out = shared.SharedWitnessFile(
+        shared.PROTO_SHAMIR, net.id, net.n_parties, 1, swf.field,
+        swf.public_inputs, sh, None,
+    )
+    with open(args.out, "wb") as fh:
+        fh.write(shared.write_shared_witness(out))
+    print(f"wrote {args.out}")
+
+
+def cmd_verify(args):
+    from .groth16.verify import verify_bn254
+    from .io import jsonio
+
+    vk = jsonio.vkey_from_json(open(args.vk).read())
+    proof = jsonio.proof_from_json(open(args.proof).read())
+    pub = jsonio.public_from_json(open(args.public_input).read())
+    if vk["curve"] not in ("bn128", "bn254"):
+        sys.exit("verify: only bn254 pairing available so far")
+    ok = verify_bn254(vk, proof, pub)
+    print("verification:", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)
+
+
+def main(argv=None):
+    # persistent kernel cache: CLI stages are separate processes by design
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("COSNARKS_JAX_CACHE", "/tmp/cosnarks_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    ap = argparse.ArgumentParser(prog="cosnarks", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("split-witness")
+    p.add_argument("--witness", required=True)
+    p.add_argument("--zkey", required=True)
+    p.add_argument("--protocol", choices=["REP3", "SHAMIR"], default="REP3")
+    p.add_argument("--num-parties", type=int, default=3)
+    p.add_argument("--threshold", type=int, default=1)
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_split_witness)
+
+    p = sub.add_parser("split-input")
+    p.add_argument("--input", required=True)
+    p.add_argument("--curve", choices=["BN254", "BLS12-381"], default="BN254")
+    p.add_argument("--out-dir", default=".")
+    p.set_defaults(fn=cmd_split_input)
+
+    p = sub.add_parser("merge-input-shares")
+    p.add_argument("--inputs", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge_input_shares)
+
+    p = sub.add_parser("generate-witness")
+    p.set_defaults(
+        fn=lambda a: sys.exit(
+            "generate-witness requires the circom MPC-VM frontend "
+            "(in progress; see ROADMAP)"
+        )
+    )
+
+    p = sub.add_parser("generate-proof")
+    p.add_argument("proof_system", choices=["groth16", "plonk"])
+    p.add_argument("--zkey", required=True)
+    p.add_argument("--witness", nargs="+", required=True,
+                   help="one .shared file (or all of them with --local-parties)")
+    p.add_argument("--config", help="network TOML (my_id, parties)")
+    p.add_argument("--local-parties", type=int, default=0)
+    p.add_argument("--out", default="proof.json")
+    p.add_argument("--public-input")
+    p.set_defaults(fn=cmd_generate_proof)
+
+    p = sub.add_parser("translate-witness")
+    p.add_argument("--witness", required=True)
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_translate_witness)
+
+    p = sub.add_parser("verify")
+    p.add_argument("proof_system", choices=["groth16", "plonk"])
+    p.add_argument("--vk", required=True)
+    p.add_argument("--proof", required=True)
+    p.add_argument("--public-input", required=True)
+    p.set_defaults(fn=cmd_verify)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

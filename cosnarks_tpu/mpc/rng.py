@@ -46,7 +46,9 @@ class PartyRng:
         (so party i ends with (k_i, k_{i+1}))."""
         if seed is None:
             seed = os.urandom(8)
-        my_key = jax.random.key(int.from_bytes(seed, "little"))
+        my_key = jax.random.key(
+            int.from_bytes(seed, "little") & ((1 << 63) - 1)
+        )
         key_next = net.reshare_backward(jax.random.key_data(my_key))
         return cls(my_key, jax.random.wrap_key_data(jnp.asarray(key_next)))
 

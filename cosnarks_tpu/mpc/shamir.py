@@ -105,7 +105,9 @@ class ShamirState:
             raise ValueError("threshold too large")
         if seed is None:
             seed = os.urandom(8)
-        key = jax.random.key(int.from_bytes(seed, "little") ^ (net.id << 56))
+        key = jax.random.key(
+            (int.from_bytes(seed, "little") ^ (net.id << 56)) & ((1 << 63) - 1)
+        )
         st = cls(net.id, n, t, key,
                  mont.zeros(field, (0,)), mont.zeros(field, (0,)))
         st.refill_pairs(field, net, pairs)
