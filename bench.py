@@ -26,8 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BASELINE_PROXY_PTS_PER_SEC = 2.0e6
 
 N = 1 << 16
-WINDOW = 8
-CHUNK = 1 << 12
+WINDOW = 16
+CHUNK = 1 << 13
 
 
 def main():
@@ -38,25 +38,36 @@ def main():
     F = spec.scalar_field
     rng = np.random.default_rng(0xBE7C)
 
-    # synthetic random points: batched [k_i]G on-device (generation untimed)
-    gen = ec.encode_points(spec, [spec.generator])
-    genN = tuple(jnp.broadcast_to(x[0], (N,) + x.shape[1:]) for x in gen)
-    ks = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
-    points = ec.scalar_mul(spec, genN, jnp.asarray(ks))
-    jax.block_until_ready(points)
+    # synthetic random points: batched [k_i]G on-device (generation untimed,
+    # cached on disk so bench reruns skip the one-time scalar-mul sweep)
+    cache = f"/tmp/cosnarks_bench_points_{N}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        points = tuple(jnp.asarray(data[k]) for k in ("x", "y", "z"))
+    else:
+        gen = ec.encode_points(spec, [spec.generator])
+        genN = tuple(jnp.broadcast_to(x[0], (N,) + x.shape[1:]) for x in gen)
+        ks = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
+        points = ec.scalar_mul(spec, genN, jnp.asarray(ks))
+        host_pts = [np.asarray(jax.device_get(x)) for x in points]
+        np.savez(cache, x=host_pts[0], y=host_pts[1], z=host_pts[2])
+        points = tuple(jnp.asarray(x) for x in host_pts)
 
     scalars = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
     scalars[:, -1] &= (1 << 13) - 1  # canonical (< p)
     scalars = jnp.asarray(scalars)
 
     def run():
-        return msm.msm(spec, points, scalars, c=WINDOW, chunk=CHUNK)
+        r = msm.msm(spec, points, scalars, c=WINDOW, chunk=CHUNK)
+        # force completion: fetch the result (block_until_ready does not
+        # actually block over the axon tunnel)
+        return np.asarray(jax.device_get(r))
 
-    jax.block_until_ready(run())  # compile + warm
+    run()  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(run())
+        run()
         times.append(time.time() - t0)
     best = min(times)
     value = N / best

@@ -165,15 +165,13 @@ def cmd_translate_witness(args):
 
 
 def cmd_verify(args):
-    from .groth16.verify import verify_bn254
+    from .groth16.verify import verify
     from .io import jsonio
 
     vk = jsonio.vkey_from_json(open(args.vk).read())
     proof = jsonio.proof_from_json(open(args.proof).read())
     pub = jsonio.public_from_json(open(args.public_input).read())
-    if vk["curve"] not in ("bn128", "bn254"):
-        sys.exit("verify: only bn254 pairing available so far")
-    ok = verify_bn254(vk, proof, pub)
+    ok = verify(vk, proof, pub)
     print("verification:", "OK" if ok else "FAILED")
     sys.exit(0 if ok else 1)
 

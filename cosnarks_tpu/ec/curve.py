@@ -60,17 +60,34 @@ def select_point(spec: CurveSpec, mask, P, Q):
 
 
 def _mulstack(o, xs, ys):
-    """One batched field-mul over stacked independent products.
+    """Batched independent products — dispatched through the ops object so
+    in-kernel (lane-vector) backends can unroll instead of stacking."""
+    return o.mulstack(tuple(xs), tuple(ys))
 
-    Collapsing independent muls into a single (k, ...) mul keeps traced
-    graphs small (compile time) and feeds the VPU bigger batches (runtime).
-    """
-    r = o.mul(jnp.stack(xs), jnp.stack(ys))
-    return tuple(r[i] for i in range(len(xs)))
+
+def _pallas_batch(spec, P) -> bool:
+    # Route EVERY prime-field EC group op through the fused Pallas kernel on
+    # accelerator backends: each op is then one custom call in the XLA graph
+    # (vs ~6k HLO ops), which keeps MSM scan graphs compilable, and the
+    # Mosaic kernel is compiled once per tile shape.
+    from .ops import FqOps
+
+    if type(spec.ops) is not FqOps:
+        return False
+    if P[0].ndim > 1 and int(np.prod(P[0].shape[:-1], dtype=np.int64)) == 0:
+        return False  # empty batch (e.g. scan edge slices)
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def double(spec: CurveSpec, P):
     """dbl-2009-l (a=0). Infinity (Z=0) maps to infinity automatically."""
+    if _pallas_batch(spec, P):
+        from . import pallas_ec
+
+        return pallas_ec.double(spec, P)
     o = spec.ops
     X, Y, Z = P
     A, B, YZ = _mulstack(o, (X, Y, Y), (X, Y, Z))  # X^2, Y^2, Y*Z
@@ -89,6 +106,10 @@ def double(spec: CurveSpec, P):
 def add(spec: CurveSpec, P, Q):
     """Complete Jacobian add (add-2007-bl + select-based edge handling):
     correct for P=inf, Q=inf, P=Q (falls back to double), P=-Q (-> inf)."""
+    if _pallas_batch(spec, P) and P[0].shape == Q[0].shape:
+        from . import pallas_ec
+
+        return pallas_ec.add(spec, P, Q)
     o = spec.ops
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
@@ -117,7 +138,7 @@ def add(spec: CurveSpec, P, Q):
     same = h_zero & r_zero & finite
     cancel = h_zero & ~r_zero & finite  # P = -Q
 
-    res = (X3, Y3, jnp.where(_bmask(o, cancel), jnp.zeros_like(Z3), Z3))
+    res = (X3, Y3, o.select(cancel, o.zeros_like(Z3), Z3))
     res = select_point(spec, same, double(spec, P), res)
     res = select_point(spec, p_inf, Q, res)
     res = select_point(spec, q_inf, P, res)

@@ -28,6 +28,12 @@ class FqOps:
     def mul(self, a, b):
         return mont.mul(self.field, a, b)
 
+    def mulstack(self, xs, ys):
+        # collapse independent products into one batched mul (small graphs,
+        # bigger VPU batches)
+        r = self.mul(jnp.stack(xs), jnp.stack(ys))
+        return tuple(r[i] for i in range(len(xs)))
+
     def sqr(self, a):
         return mont.sqr(self.field, a)
 
@@ -51,6 +57,9 @@ class FqOps:
 
     def zeros(self, shape=()):
         return mont.zeros(self.field, shape)
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
 
     def one(self, shape=()):
         return mont.broadcast_one(self.field, shape)
@@ -99,6 +108,10 @@ class Fq2Ops:
         c0 = mont.sub(f, t0, t1)  # u^2 = -1
         c1 = mont.sub(f, mont.sub(f, t2, t0), t1)
         return jnp.stack([c0, c1], axis=-2)
+
+    def mulstack(self, xs, ys):
+        r = self.mul(jnp.stack(xs), jnp.stack(ys))
+        return tuple(r[i] for i in range(len(xs)))
 
     def sqr(self, a):
         f = self.field
@@ -154,6 +167,9 @@ class Fq2Ops:
 
     def zeros(self, shape=()):
         return mont.zeros(self.field, tuple(shape) + (2,))
+
+    def zeros_like(self, a):
+        return jnp.zeros_like(a)
 
     def one(self, shape=()):
         return jnp.stack(

@@ -188,12 +188,27 @@ def _mont_reduce_columns(field: Field, cols):
 _MUL_CHUNK = 1 << 18
 
 
+def _use_pallas(batch: int) -> bool:
+    try:
+        return batch >= 4096 and jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mul(field: Field, a, b):
-    """Montgomery product: a*b*R^-1 mod p."""
+    """Montgomery product: a*b*R^-1 mod p.
+
+    Dispatches to the Pallas TPU kernel (pallas_mont.py) for large batches
+    on accelerator backends; the jnp path below is the CPU/test fallback
+    (bit-identical)."""
     if a.shape != b.shape:
         a, b = jnp.broadcast_arrays(a, b)
     batch = int(np.prod(a.shape[:-1], dtype=np.int64))
+    if _use_pallas(batch):
+        from . import pallas_mont
+
+        return pallas_mont.mul(field, a, b)
     if batch > _MUL_CHUNK:
         flat_a = a.reshape(batch, field.nlimbs)
         flat_b = b.reshape(batch, field.nlimbs)

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel for batched Montgomery multiplication.
+
+The XLA elementwise formulation (mont.py) round-trips HBM between fused
+sub-chains; this kernel keeps all 2n product columns of a batch tile in
+VMEM/vector registers for the whole multiply -> reduction -> carry ->
+conditional-subtract pipeline, processing a (TILE, n) block per grid cell
+with limb vectors transposed to lane-major inside the kernel.
+
+Used automatically by mont.mul on TPU backends for large batches; the jnp
+path remains the CPU/test fallback (bit-identical results).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bigint import LIMB_BITS, LIMB_MASK
+from .spec import Field
+
+MASK = np.uint32(LIMB_MASK)
+
+
+def cond_sub_p_lanes(field: Field, out: list):
+    """Lane-vector limbs (value < 2p) -> canonical, via borrow-chain select."""
+    n = field.nlimbs
+    p_limbs = [np.uint32(x) for x in field.p_limbs]
+    borrow = jnp.zeros_like(out[0])
+    diffs = []
+    for k in range(n):
+        s = out[k] + np.uint32(1 << LIMB_BITS) - p_limbs[k] - borrow
+        diffs.append(s & MASK)
+        borrow = np.uint32(1) - (s >> LIMB_BITS)
+    ge = borrow == 0
+    return [jnp.where(ge, d, o) for d, o in zip(diffs, out)]
+
+
+def mont_mul_lanes(field: Field, a: list, b: list) -> list:
+    """Fully-unrolled Montgomery multiply on lists of lane vectors.
+
+    The building block of every Pallas field/EC kernel: inputs and all 2n
+    product columns live in vector registers for the whole pipeline.
+    """
+    n = field.nlimbs
+    p_limbs = [np.uint32(x) for x in field.p_limbs]
+    n0inv = np.uint32(field.n0inv)
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * n)
+    for i in range(n):
+        ai = a[i]
+        for j in range(n):
+            prod = ai * b[j]
+            cols[i + j] = cols[i + j] + (prod & MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+    # Montgomery reduction: n steps, each folds column s away
+    for s in range(n):
+        m = (cols[s] * n0inv) & MASK
+        for j in range(n):
+            mp = m * p_limbs[j]
+            cols[s + j] = cols[s + j] + (mp & MASK)
+            cols[s + j + 1] = cols[s + j + 1] + (mp >> LIMB_BITS)
+        cols[s + 1] = cols[s + 1] + (cols[s] >> LIMB_BITS)
+    # carry propagate the surviving n columns
+    out = []
+    carry = zero
+    for k in range(n, 2 * n):
+        v = cols[k] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return cond_sub_p_lanes(field, out)
+
+
+def add_lanes(field: Field, a: list, b: list) -> list:
+    n = field.nlimbs
+    out = []
+    carry = jnp.zeros_like(a[0])
+    for i in range(n):
+        v = a[i] + b[i] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return cond_sub_p_lanes(field, out)
+
+
+def sub_lanes(field: Field, a: list, b: list) -> list:
+    n = field.nlimbs
+    p_limbs = [np.uint32(x) for x in field.p_limbs]
+    borrow = jnp.zeros_like(a[0])
+    d = []
+    for i in range(n):
+        s = a[i] + np.uint32(1 << LIMB_BITS) - b[i] - borrow
+        d.append(s & MASK)
+        borrow = np.uint32(1) - (s >> LIMB_BITS)
+    underflow = borrow != 0
+    carry = jnp.zeros_like(a[0])
+    dp = []
+    for i in range(n):
+        s = d[i] + p_limbs[i] + carry
+        dp.append(s & MASK)
+        carry = s >> LIMB_BITS
+    return [jnp.where(underflow, x, y) for x, y in zip(dp, d)]
+
+
+def _make_kernel(field: Field):
+    n = field.nlimbs
+
+    def kernel(a_ref, b_ref, o_ref):
+        at = a_ref[:].T  # (n, TILE) lane-major limb vectors
+        bt = b_ref[:].T
+        a = [at[i] for i in range(n)]
+        b = [bt[j] for j in range(n)]
+        res = mont_mul_lanes(field, a, b)
+        o_ref[:] = jnp.stack(res, axis=0).T  # back to (TILE, n)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call(field: Field, total: int, tile: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = field.nlimbs
+    kernel = _make_kernel(field)
+    grid = (total // tile,)
+    spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((total, n), jnp.uint32),
+        cost_estimate=pl.CostEstimate(
+            flops=total * (4 * n * n + 10 * n), bytes_accessed=3 * total * n * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def available() -> bool:
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+DEFAULT_TILE = 1024
+
+
+def mul(field: Field, a, b, tile: int = DEFAULT_TILE):
+    """Batched Montgomery product via the Pallas kernel.
+
+    a, b: (..., nlimbs) canonical Montgomery limbs, identical shapes.
+    Batch must be a multiple of 8; remainder handled by padding.
+    """
+    n = field.nlimbs
+    shape = a.shape
+    total = int(np.prod(shape[:-1], dtype=np.int64))
+    flat_a = a.reshape(total, n)
+    flat_b = b.reshape(total, n)
+    t = min(tile, max(8, 1 << (total - 1).bit_length()))
+    pad = -total % t
+    if pad:
+        flat_a = jnp.concatenate(
+            [flat_a, jnp.zeros((pad, n), jnp.uint32)]
+        )
+        flat_b = jnp.concatenate(
+            [flat_b, jnp.zeros((pad, n), jnp.uint32)]
+        )
+    out = _mul_call(field, total + pad, t)(flat_a, flat_b)
+    if pad:
+        out = out[:total]
+    return out.reshape(shape)

@@ -60,3 +60,47 @@ def test_rep3_prove_verifies(artifacts, rng):
     assert verify_bn254(vk, proofs[0], pub), "rep3 proof must verify"
     # proofs are randomized: a second run with different rng differs but verifies
     assert proofs[0]["a"] is not None
+
+
+BLS_BASE = "/root/reference/test_vectors/Groth16/bls12_381/multiplier2/"
+
+
+def test_plain_prove_verifies_bls12_381():
+    from cosnarks_tpu.ff import mont
+    from cosnarks_tpu.groth16.verify import verify
+
+    zk = zkey.load_groth16_zkey(BLS_BASE + "circuit.zkey")
+    _, w = wtns.load_wtns(BLS_BASE + "witness.wtns")
+    wit = [limbs_to_int(x) for x in w]
+    vk = jsonio.vkey_from_json(open(BLS_BASE + "verification_key.json").read())
+    pub = jsonio.public_from_json(open(BLS_BASE + "public.json").read())
+    n_inst = zk.n_public + 1
+    witness = prove.SharedWitness(
+        public_inputs=wit[:n_inst],
+        witness=mont.encode(zk.fr, wit[n_inst:]),
+    )
+    proof = prove.prove(drivers.PlainDriver(seed=9), zk, witness)
+    assert verify(vk, proof, pub), "bls12-381 plain proof must verify"
+
+
+def test_rep3_prove_verifies_bls12_381(rng):
+    from cosnarks_tpu.groth16.verify import verify
+
+    zk = zkey.load_groth16_zkey(BLS_BASE + "circuit.zkey")
+    _, w = wtns.load_wtns(BLS_BASE + "witness.wtns")
+    wit = [limbs_to_int(x) for x in w]
+    vk = jsonio.vkey_from_json(open(BLS_BASE + "verification_key.json").read())
+    pub = jsonio.public_from_json(open(BLS_BASE + "public.json").read())
+    n_inst = zk.n_public + 1
+    shares = rep3.share_field_elements(zk.fr, wit[n_inst:], rng)
+
+    def party(net):
+        st = rep3.Rep3State.setup(net, bytes([net.id + 21]) * 8)
+        driver = drivers.Rep3Driver(net, st)
+        return prove.prove(
+            driver, zk, prove.SharedWitness(wit[:n_inst], shares[net.id])
+        )
+
+    proofs = run_parties([party] * 3)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify(vk, proofs[0], pub)
