@@ -106,6 +106,26 @@ def _prove_one_party(zk, swf, net):
     return prove.prove(driver, zk, witness)
 
 
+def cmd_generate_witness(args):
+    import numpy as np
+
+    from .ff.bigint import ints_to_limbs
+    from .ff.spec import BLS12_381_FR, BN254_FR
+    from .io import wtns
+    from .vm.witness import generate_witness
+
+    field = BN254_FR if args.curve == "BN254" else BLS12_381_FR
+    with open(args.input) as fh:
+        inputs = json.load(fh)
+    wit, n_inst = generate_witness(
+        args.circuit, inputs, field, search_paths=args.link_library
+    )
+    data = wtns.write_wtns(field, ints_to_limbs(wit, field.nlimbs))
+    with open(args.out, "wb") as fh:
+        fh.write(data)
+    print(f"wrote {args.out} ({len(wit)} wires, {n_inst} instance)")
+
+
 def cmd_generate_proof(args):
     from .groth16 import prove
     from .io import jsonio, shared, zkey
@@ -210,12 +230,15 @@ def main(argv=None):
     p.set_defaults(fn=cmd_merge_input_shares)
 
     p = sub.add_parser("generate-witness")
-    p.set_defaults(
-        fn=lambda a: sys.exit(
-            "generate-witness requires the circom MPC-VM frontend "
-            "(in progress; see ROADMAP)"
-        )
-    )
+    p.add_argument("--circuit", required=True, help=".circom source")
+    p.add_argument("--input", required=True, help="input.json")
+    p.add_argument("--link-library", nargs="*", default=[],
+                   help="include search dirs (circomlib etc.)")
+    p.add_argument("--curve", choices=["BN254", "BLS12-381"], default="BN254")
+    p.add_argument("--protocol", choices=["PLAIN"], default="PLAIN",
+                   help="MPC witness extension (REP3/SHAMIR) lands next")
+    p.add_argument("--out", default="witness.wtns")
+    p.set_defaults(fn=cmd_generate_witness)
 
     p = sub.add_parser("generate-proof")
     p.add_argument("proof_system", choices=["groth16", "plonk"])
