@@ -26,8 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BASELINE_PROXY_PTS_PER_SEC = 2.0e6
 
 N = 1 << 16
-WINDOW = 16
-CHUNK = 1 << 13
+WINDOW = 8  # c=16 halves runtime but its bucket-scan graph compiles too
+CHUNK = 1 << 12  # slowly on this box; revisit with a fused-combine kernel
 
 
 def main():
