@@ -107,14 +107,14 @@ def _prove_one_party(zk, swf, net):
 
 
 def cmd_generate_witness(args):
-    import numpy as np
-
     from .ff.bigint import ints_to_limbs
     from .ff.spec import BLS12_381_FR, BN254_FR
     from .io import wtns
     from .vm.witness import generate_witness
 
     field = BN254_FR if args.curve == "BN254" else BLS12_381_FR
+    if args.protocol == "REP3":
+        return _generate_witness_rep3(args, field)
     with open(args.input) as fh:
         inputs = json.load(fh)
     wit, n_inst = generate_witness(
@@ -124,6 +124,50 @@ def cmd_generate_witness(args):
     with open(args.out, "wb") as fh:
         fh.write(data)
     print(f"wrote {args.out} ({len(wit)} wires, {n_inst} instance)")
+
+
+def _generate_witness_rep3(args, field):
+    """MPC witness extension: shared input JSON(s) -> .shared witness file(s)
+    (reference generate_witness REP3, co-circom/src/lib.rs:118-147). With
+    --local-parties 3, pass all three shared input files; over TCP, pass this
+    party's file + --config."""
+    from .io import shared as shared_io
+    from .vm import lang, mpc_run
+
+    prog = lang.load_program(args.circuit, search_paths=args.link_library)
+
+    def one_party(net, inp_json):
+        tree = mpc_run.shared_input_to_tree(
+            json.loads(inp_json), field, net.id
+        )
+        wit, n_inst, driver = mpc_run.run_rep3_witness_extension(
+            prog, field, tree, net
+        )
+        return mpc_run.to_shared_witness_file(
+            driver.pr, field, wit, n_inst, net.id
+        )
+
+    if args.local_parties:
+        from .mpc.net.local import run_parties
+
+        inps = [open(p).read() for p in args.input.split(",")]
+        if len(inps) != args.local_parties:
+            sys.exit("--local-parties needs one --input file per party "
+                     "(comma-separated)")
+        swfs = run_parties(
+            [lambda net, s=s: one_party(net, s) for s in inps]
+        )
+        for i, swf in enumerate(swfs):
+            out = f"{args.out}.{i}.shared"
+            with open(out, "wb") as fh:
+                fh.write(shared_io.write_shared_witness(swf))
+            print(f"wrote {out}")
+    else:
+        net = _net_from_config(args.config)
+        swf = one_party(net, open(args.input).read())
+        with open(args.out, "wb") as fh:
+            fh.write(shared_io.write_shared_witness(swf))
+        print(f"wrote {args.out}")
 
 
 def cmd_generate_proof(args):
@@ -235,8 +279,10 @@ def main(argv=None):
     p.add_argument("--link-library", nargs="*", default=[],
                    help="include search dirs (circomlib etc.)")
     p.add_argument("--curve", choices=["BN254", "BLS12-381"], default="BN254")
-    p.add_argument("--protocol", choices=["PLAIN"], default="PLAIN",
-                   help="MPC witness extension (REP3/SHAMIR) lands next")
+    p.add_argument("--protocol", choices=["PLAIN", "REP3"], default="PLAIN")
+    p.add_argument("--config", help="network TOML (REP3 over TCP)")
+    p.add_argument("--local-parties", type=int, default=0,
+                   help="run all parties in-process (REP3 testing)")
     p.add_argument("--out", default="witness.wtns")
     p.set_defaults(fn=cmd_generate_witness)
 

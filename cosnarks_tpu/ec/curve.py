@@ -145,6 +145,50 @@ def add(spec: CurveSpec, P, Q):
     return res
 
 
+def madd(spec: CurveSpec, P, Q_affine, valid=None):
+    """Complete mixed add: Jacobian P + affine Q = (x2, y2) (implicit Z2=1).
+
+    madd-2007-bl (7M+4S) + select-based edge handling: correct for P=inf
+    (returns Q), P=Q (doubles), P=-Q (infinity). `valid` is a boolean lane
+    mask — invalid lanes return P unchanged (the MSM bucket-accumulation
+    hot path uses this for segment-tail padding).
+    """
+    if _pallas_batch(spec, P):
+        from . import pallas_ec
+
+        return pallas_ec.madd(spec, P, Q_affine, valid)
+    o = spec.ops
+    X1, Y1, Z1 = P
+    X2, Y2 = Q_affine
+    Z1Z1 = o.mul(Z1, Z1)
+    U2, Z1c = _mulstack(o, (X2, Z1), (Z1Z1, Z1Z1))
+    S2 = o.mul(Y2, Z1c)
+    H = o.sub(U2, X1)
+    rhalf = o.sub(S2, Y1)
+    HH = o.mul(H, H)
+    I = o.double(o.double(HH))
+    r = o.double(rhalf)
+    J, V, r2 = _mulstack(o, (H, X1, r), (I, I, r))
+    X3 = o.sub(r2, o.add(J, o.double(V)))
+    rVX, Y1J, ZH = _mulstack(
+        o, (r, Y1, o.add(Z1, H)), (o.sub(V, X3), J, o.add(Z1, H))
+    )
+    Y3 = o.sub(rVX, o.double(Y1J))
+    Z3 = o.sub(ZH, o.add(Z1Z1, HH))
+
+    p_inf = o.is_zero(Z1)
+    h_zero = o.is_zero(H)
+    r_zero = o.is_zero(rhalf)
+    same = h_zero & r_zero & ~p_inf
+    cancel = h_zero & ~r_zero & ~p_inf
+    res = (X3, Y3, o.select(cancel, o.zeros_like(Z3), Z3))
+    res = select_point(spec, same, double(spec, P), res)
+    res = select_point(spec, p_inf, (X2, Y2, o.one_like(Z1)), res)
+    if valid is not None:
+        res = select_point(spec, valid, res, P)
+    return res
+
+
 def _bmask(o, mask):
     extra = (1,) * o.coord_ndim
     return mask.reshape(mask.shape + extra)

@@ -64,6 +64,9 @@ class FqOps:
     def one(self, shape=()):
         return mont.broadcast_one(self.field, shape)
 
+    def one_like(self, a):
+        return self.one(a.shape[:-1])
+
     def constant(self, value, shape=()):
         return mont.constant(self.field, value, shape)
 
@@ -176,6 +179,9 @@ class Fq2Ops:
             [mont.broadcast_one(self.field, shape), mont.zeros(self.field, shape)],
             axis=-2,
         )
+
+    def one_like(self, a):
+        return self.one(a.shape[:-2])
 
     def constant(self, value, shape=()):
         c0, c1 = value  # tuple of ints

@@ -61,6 +61,12 @@ class LaneOps:
     def zeros_like(self, a):
         return tuple(jnp.zeros_like(x) for x in a)
 
+    def one_like(self, a):
+        return tuple(
+            jnp.full_like(x, np.uint32(c))
+            for x, c in zip(a, self.field.one_mont)
+        )
+
     def select(self, mask, a, b):
         return tuple(jnp.where(mask, x, y) for x, y in zip(a, b))
 
@@ -143,6 +149,41 @@ def _double_call(spec: CurveSpec, total: int, tile: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _madd_call(spec: CurveSpec, total: int, tile: int, masked: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.ops.field.nlimbs
+    kspec = _lane_spec(spec)
+
+    def kernel(*refs):
+        if masked:
+            x1, y1, z1, x2, y2, vm, ox, oy, oz = refs
+        else:
+            x1, y1, z1, x2, y2, ox, oy, oz = refs
+            vm = None
+        P = (_load(x1, n), _load(y1, n), _load(z1, n))
+        Q = (_load(x2, n), _load(y2, n))
+        valid = None if vm is None else (vm[:].T[0] != 0)
+        X3, Y3, Z3 = ec.madd(kspec, P, Q, valid)
+        _store(ox, X3)
+        _store(oy, Y3)
+        _store(oz, Z3)
+
+    bspec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_in = 6 if masked else 5
+    return pl.pallas_call(
+        kernel,
+        grid=(total // tile,),
+        in_specs=[bspec] * n_in,
+        out_specs=(bspec,) * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((total, n), jnp.uint32) for _ in range(3)
+        ),
+    )
+
+
 DEFAULT_TILE = 512
 
 
@@ -170,4 +211,20 @@ def double(spec: CurveSpec, P, tile: int = DEFAULT_TILE):
     n = spec.ops.field.nlimbs
     flat, shape, total, t, pad = _flatten_pad(list(P), n, tile)
     out = _double_call(spec, total + pad, t)(*flat)
+    return tuple(o[:total].reshape(shape + (n,)) for o in out)
+
+
+def madd(spec: CurveSpec, P, Q_affine, valid=None, tile: int = DEFAULT_TILE):
+    """Fused complete mixed add (Jacobian P + affine Q); `valid` lanes=False
+    pass P through. The MSM bucket-accumulation hot kernel."""
+    n = spec.ops.field.nlimbs
+    coords = list(P) + list(Q_affine)
+    masked = valid is not None
+    if masked:
+        vm = jnp.broadcast_to(
+            valid.astype(jnp.uint32)[..., None], valid.shape + (n,)
+        )
+        coords.append(vm)
+    flat, shape, total, t, pad = _flatten_pad(coords, n, tile)
+    out = _madd_call(spec, total + pad, t, masked)(*flat)
     return tuple(o[:total].reshape(shape + (n,)) for o in out)

@@ -27,7 +27,11 @@ class PlainDriver:
     id = 0
 
     def __init__(self, seed: int = 0):
-        self._key = jax.random.key(seed)
+        from ..mpc import chacha
+
+        self._key = jnp.asarray(
+            chacha.key_to_words(seed.to_bytes(32, "little"))
+        )
         self._ctr = 0
 
     # share plumbing
@@ -45,10 +49,10 @@ class PlainDriver:
         return mont.mul(field, a, b)
 
     def rand(self, field):
-        from ..mpc.rng import _draw_limbs
+        from ..mpc.rng import LABEL_FIELD, draw_field
 
         self._ctr += 1
-        return _draw_limbs(self._key, self._ctr, field, ())
+        return draw_field(self._key, LABEL_FIELD, self._ctr, field, ())
 
     def local_mul_scalar(self, field, r, s):
         return mont.mul(field, r, s)
@@ -116,10 +120,10 @@ class Rep3Driver:
         return r.a
 
     def open_half_point(self, spec, pt):
-        return rep3.point_open_additive(spec, pt, self.net)
+        return rep3.point_open_additive(spec, pt, self.net, self.state)
 
     def scalar_mul_half_point(self, spec, pt_half, r: rep3.Share):
-        repl = rep3.point_reshare(spec, pt_half, self.net)
+        repl = rep3.point_reshare(spec, pt_half, self.net, self.state)
         return rep3.point_scalar_mul_local(spec, repl, r, self.state)
 
     def add_public_point(self, spec, pt, public_pt):
@@ -155,7 +159,7 @@ class ShamirDriver:
         return mont.mul(field, a, b)  # degree-2t half shares
 
     def rand(self, field):
-        return self._sh.rand(field, self.state)
+        return self._sh.rand(field, self.state, net=self.net)
 
     def local_mul_scalar(self, field, r, s):
         return mont.mul(field, r, s)

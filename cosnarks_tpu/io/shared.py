@@ -126,7 +126,11 @@ def split_input_rep3(field: Field, inputs: dict, rng,
         flat = [int(v) for v in flat]
         if name in public_keys:
             for o in outs:
-                o[name] = {"kind": "public", "values": [str(v) for v in flat]}
+                o[name] = {
+                    "kind": "public",
+                    "values": [str(v) for v in flat],
+                    "shape": "list" if isinstance(value, list) else "scalar",
+                }
         else:
             shares = rep3.share_field_elements(field, flat, rng)
             for i, o in enumerate(outs):

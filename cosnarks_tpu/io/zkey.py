@@ -108,6 +108,19 @@ def parse_groth16_zkey(data: bytes) -> Groth16Zkey:
     meta = rec[:, :12].copy().view("<u4").reshape(ncoeffs, 3)
     vals = np.ascontiguousarray(rec[:, 12:]).view("<u2").astype(np.uint32)
 
+    # sparse_matvec (groth16/witness_map.py) accumulates limb products in
+    # uint32 lanes: per (matrix, row) entry counts must stay < 2^16 or the
+    # lazy segment sum overflows silently. Fail loudly here instead.
+    if ncoeffs:
+        key = meta[:, 0].astype(np.int64) * domain_size + meta[:, 1]
+        per_row = np.bincount(key)
+        if per_row.max(initial=0) >= (1 << 16):
+            raise ValueError(
+                "zkey has a constraint row with >= 2^16 coefficients; "
+                "lazy uint32 accumulation would overflow (chunked reduction "
+                "not implemented)"
+            )
+
     return Groth16Zkey(
         fq=fq,
         fr=fr,

@@ -12,10 +12,8 @@ process boundaries serialize leaves as raw little-endian buffers.
 from __future__ import annotations
 
 import abc
-import pickle
 
-import jax
-import numpy as np
+from . import wire
 
 
 class Network(abc.ABC):
@@ -71,12 +69,10 @@ class Network(abc.ABC):
 
 
 def to_wire(msg) -> bytes:
-    """Pytree of arrays -> bytes (host transfer of device arrays included)."""
-    leaves, treedef = jax.tree.flatten(msg)
-    host_leaves = [np.asarray(jax.device_get(x)) for x in leaves]
-    return pickle.dumps((treedef, host_leaves), protocol=4)
+    """Message -> bytes via the typed TLV format (wire.py) — no pickle, no
+    code execution on decode, frame length capped."""
+    return wire.encode(msg)
 
 
 def from_wire(data: bytes):
-    treedef, host_leaves = pickle.loads(data)
-    return jax.tree.unflatten(treedef, host_leaves)
+    return wire.decode(data)

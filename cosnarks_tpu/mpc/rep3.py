@@ -148,8 +148,17 @@ def open(field: Field, x: Share, net):
     return mont.add(field, mont.add(field, x.a, x.b), jnp.asarray(other))
 
 
-def open_additive(field: Field, additive, net):
-    """Open an additive sharing (each party broadcasts its summand)."""
+def open_additive(field: Field, additive, net, state: Rep3State | None = None):
+    """Open an additive sharing (each party broadcasts its summand).
+
+    When `state` is given the summand is re-randomized with an additive zero
+    share first, so the broadcast values are uniform subject to their sum —
+    required whenever the additive decomposition is not already masked
+    (cf. masking_field_element uses in the reference, rep3/arithmetic.rs:110).
+    """
+    if state is not None:
+        z = state.rng.zero_additive(field, additive.shape[:-1])
+        additive = mont.add(field, additive, z)
     others = net.broadcast(additive)
     total = additive
     for v in others.values():
@@ -184,12 +193,44 @@ class PointShare(typing.NamedTuple):
     b: tuple
 
 
-def point_reshare(spec, additive_pt, net) -> PointShare:
+def zero_point_mask(spec, state: Rep3State, shape=()):
+    """Additive EC share of the identity: [z]G with z an additive zero share
+    (the reference's masking_ec_element, rep3/pointshare.rs:88)."""
+    field = spec.scalar_field
+    z = state.rng.zero_additive(field, shape)
+    gen = ec.encode_points(spec, [spec.generator])
+    gen = tuple(x[0] for x in gen)
+    if shape:
+        gen = tuple(
+            jnp.broadcast_to(x, tuple(shape) + x.shape) for x in gen
+        )
+    return ec.scalar_mul(spec, gen, mont.from_mont(field, z))
+
+
+def _batch_shape(spec, additive_pt):
+    """Leading batch dims of a point pytree (strip coord_ndim limb axes)."""
+    nd = spec.ops.coord_ndim
+    return additive_pt[0].shape[:-nd]
+
+
+def point_reshare(spec, additive_pt, net, state: Rep3State | None = None
+                  ) -> PointShare:
+    """Additive EC share -> replicated. Masks with [z]G first when `state`
+    is given (mandatory when the additive share came from a local product,
+    pointshare.rs:88)."""
+    if state is not None:
+        mask = zero_point_mask(spec, state, _batch_shape(spec, additive_pt))
+        additive_pt = ec.add(spec, additive_pt, mask)
     other = net.reshare_backward(additive_pt)
     return PointShare(additive_pt, jax.tree.map(jnp.asarray, other))
 
 
-def point_open_additive(spec, additive_pt, net):
+def point_open_additive(spec, additive_pt, net, state: Rep3State | None = None):
+    """Open an additive EC sharing; re-randomized with [z]G when `state` is
+    given so broadcast summands are uniform subject to their group sum."""
+    if state is not None:
+        mask = zero_point_mask(spec, state, _batch_shape(spec, additive_pt))
+        additive_pt = ec.add(spec, additive_pt, mask)
     others = net.broadcast(additive_pt)
     total = additive_pt
     for v in others.values():
@@ -200,11 +241,13 @@ def point_open_additive(spec, additive_pt, net):
 def point_scalar_mul_local(spec, pt: PointShare, scalar: Share, state):
     """Additive share of [s]*P from replicated scalar + replicated point
     (pointshare.rs scalar_mul_local beaver-style local phase):
-    s_a*(A+B) + s_b*A, re-randomized with a zero scalar share times G."""
+    s_a*(A+B) + s_b*A, re-randomized with a zero scalar share times G
+    (masking_ec_element, pointshare.rs:88)."""
     field = spec.scalar_field
     sa_std = mont.from_mont(field, scalar.a)
     sb_std = mont.from_mont(field, scalar.b)
     ab = ec.add(spec, pt.a, pt.b)
     t1 = ec.scalar_mul(spec, ab, sa_std)
     t2 = ec.scalar_mul(spec, pt.a, sb_std)
-    return ec.add(spec, t1, t2)
+    mask = zero_point_mask(spec, state, scalar.a.shape[:-1])
+    return ec.add(spec, ec.add(spec, t1, t2), mask)

@@ -29,7 +29,8 @@ from ..ec import curve as ec
 from ..ff import mont
 from ..ff.bigint import ints_to_limbs
 from ..ff.spec import Field
-from .rng import _draw_limbs
+from . import chacha
+from .rng import LABEL_FIELD, draw_field
 
 KING = 0
 
@@ -89,11 +90,14 @@ class ShamirState:
     id: int
     n: int
     t: int
-    key: jax.Array  # private randomness
+    key_bytes: bytes  # private 256-bit ChaCha key (this party only)
+    key: jax.Array  # derived uint32[8] words
     r_t: jax.Array  # buffered pair shares (B, nlimbs)
     r_2t: jax.Array
     pos: int = 0
+    batch: int = 64  # refill granularity (ShamirPreprocessing batch sizing)
     _ctr: int = 0
+    _forks: int = 0
 
     @classmethod
     def setup(cls, net, field: Field, t: int, pairs: int = 64,
@@ -104,18 +108,22 @@ class ShamirState:
         if 2 * t + 1 > n:
             raise ValueError("threshold too large")
         if seed is None:
-            seed = os.urandom(8)
-        key = jax.random.key(
-            (int.from_bytes(seed, "little") ^ (net.id << 56)) & ((1 << 63) - 1)
+            seed = os.urandom(32)
+        # domain-separate per party so a shared test seed still yields
+        # private per-party randomness
+        key_bytes = chacha.derive_key(
+            seed.ljust(32, b"\0")[:32], b"shamir" + bytes([net.id])
         )
-        st = cls(net.id, n, t, key,
-                 mont.zeros(field, (0,)), mont.zeros(field, (0,)))
+        st = cls(net.id, n, t, key_bytes,
+                 jnp.asarray(chacha.key_to_words(key_bytes)),
+                 mont.zeros(field, (0,)), mont.zeros(field, (0,)),
+                 batch=max(pairs, 1))
         st.refill_pairs(field, net, pairs)
         return st
 
     def _draw(self, field: Field, shape):
         self._ctr += 1
-        return _draw_limbs(self.key, self._ctr, field, shape)
+        return draw_field(self.key, LABEL_FIELD, self._ctr, field, shape)
 
     def refill_pairs(self, field: Field, net, count: int):
         """DN07 double-share generation: every party shares a batch of random
@@ -171,24 +179,37 @@ class ShamirState:
             out.append(acc)
         return out
 
-    def get_pairs(self, field: Field, k: int):
-        if self.pos + k > self.r_t.shape[0]:
-            raise RuntimeError(
-                "correlated pair buffer exhausted; provision more in setup"
-            )
+    def get_pairs(self, field: Field, k: int, net=None):
+        """Consume k (r_t, r_2t) pairs, refilling on demand when a network
+        is available (the reference buffers per-batch on demand,
+        shamir/rngs.rs:12-401 / shamir.rs:35-63)."""
+        deficit = self.pos + k - self.r_t.shape[0]
+        if deficit > 0:
+            if net is None:
+                raise RuntimeError(
+                    "correlated pair buffer exhausted and no network to "
+                    "refill; provision more in setup"
+                )
+            self.refill_pairs(field, net, max(deficit, self.batch))
         rt = self.r_t[self.pos : self.pos + k]
         r2 = self.r_2t[self.pos : self.pos + k]
         self.pos += k
         return rt, r2
 
     def fork(self) -> "ShamirState":
-        # split remaining pairs in half for the fork
+        """Independent child state: fresh derived key (fork-counter keyed so
+        repeated forks differ) + half of the remaining pair buffer."""
+        self._forks += 1
+        child_key = chacha.derive_key(
+            self.key_bytes, b"fork" + self._forks.to_bytes(8, "little")
+        )
         remaining = self.r_t.shape[0] - self.pos
         half = remaining // 2
         child = ShamirState(
             self.id, self.n, self.t,
-            jax.random.fold_in(self.key, 0xF0) ,
+            child_key, jnp.asarray(chacha.key_to_words(child_key)),
             self.r_t[self.pos + half :], self.r_2t[self.pos + half :],
+            batch=self.batch,
         )
         self.r_t = self.r_t[: self.pos + half]
         self.r_2t = self.r_2t[: self.pos + half]
@@ -252,7 +273,7 @@ def degree_reduce(field: Field, vals, net, state: ShamirState):
     shape = vals.shape[:-1]
     k = int(np.prod(shape, dtype=np.int64)) if shape else 1
     flat = vals.reshape(k, field.nlimbs)
-    r_t, r_2t = state.get_pairs(field, k)
+    r_t, r_2t = state.get_pairs(field, k, net)
     masked = mont.add(field, flat, r_2t)
     n, t = state.n, state.t
     if state.id == KING:
@@ -278,10 +299,10 @@ def mul(field: Field, x, y, net, state: ShamirState):
     return degree_reduce(field, local_mul(field, x, y), net, state)
 
 
-def rand(field: Field, state: ShamirState, shape=()):
+def rand(field: Field, state: ShamirState, shape=(), net=None):
     """Random degree-t share from the preprocessed buffer (burns a pair)."""
     k = int(np.prod(shape, dtype=np.int64)) if shape else 1
-    r_t, _ = state.get_pairs(field, k)
+    r_t, _ = state.get_pairs(field, k, net)
     return r_t.reshape(tuple(shape) + (field.nlimbs,))
 
 
@@ -324,7 +345,7 @@ def degree_reduce_point(spec, pt, net, state: ShamirState):
     """Point analog of degree_reduce (single point)."""
     field = spec.scalar_field
     gen = tuple(x[0] for x in ec.encode_points(spec, [spec.generator]))
-    r_t, r_2t = state.get_pairs(field, 1)
+    r_t, r_2t = state.get_pairs(field, 1, net)
     mask2 = _scalar_points(spec, gen, r_2t[0])
     masked = ec.add(spec, pt, mask2)
     n, t = state.n, state.t

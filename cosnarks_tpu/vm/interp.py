@@ -34,6 +34,37 @@ class PlainDriver:
     def lift(self, x):  # signed representative for comparisons
         return x - self.p if x > self.half else x
 
+    # -- share plumbing (trivial for the plain driver) ----------------------
+    def is_shared(self, x) -> bool:
+        return False
+
+    def norm(self, x):
+        """Canonicalize a value (int/decimal-string mod p)."""
+        return int(x) % self.p
+
+    def cmux(self, c, t, f):
+        return t if c else f
+
+    def assert_eq(self, l, r, ctx=""):
+        if l != r:
+            raise CircomError(f"constraint violated{ctx}: {l} != {r}")
+
+    def assert_true(self, c, ctx=""):
+        if not self.is_true(c):
+            raise CircomError(f"assert failed{ctx}")
+
+    def land(self, a, b):
+        return int(self.is_true(a) and self.is_true(b))
+
+    def lor(self, a, b):
+        return int(self.is_true(a) or self.is_true(b))
+
+    def lnot(self, a):
+        return int(not self.is_true(a))
+
+    def neq(self, a, b):
+        return 1 - self.eq(a, b)
+
     def add(self, a, b):
         return (a + b) % self.p
 
@@ -93,6 +124,31 @@ class PlainDriver:
     def is_true(self, a):
         return a != 0
 
+    # -- accelerator ops (reference mpc/plain.rs + accelerator.rs) ----------
+    def sqrt(self, a):
+        """circomlib-compatible sqrt: the root in [0, p/2], or 0 when no
+        root exists (pointbits.circom:27-36 returns 0 on QNR)."""
+        from ..mpc.rep3_scalar import _sqrt_mod
+
+        s = _sqrt_mod(a % self.p, self.p)
+        if s is None:
+            return 0
+        return self.p - s if s > self.half else s
+
+    def num2bits(self, a, n):
+        return [(a >> i) & 1 for i in range(n)]
+
+    def addbits(self, a_bits, b_bits):
+        """MSB-first bitwise add; returns (sum bits MSB-first, carry)."""
+        n = len(a_bits)
+        va = sum(b << (n - 1 - i) for i, b in enumerate(a_bits))
+        vb = sum(b << (n - 1 - i) for i, b in enumerate(b_bits))
+        s = va + vb
+        return [(s >> (n - 1 - i)) & 1 for i in range(n)], (s >> n) & 1
+
+    def flush_asserts(self):
+        pass
+
 
 def _make_storage(dims):
     if not dims:
@@ -137,10 +193,27 @@ class Instance:
         if idx in info.values:
             raise CircomError(f"signal {name}{idx} assigned twice")
         info.values[idx] = value
+        if self.vm._journals:
+            self.vm._journals[-1][("sig", id(self), name, idx)] = {
+                "inst": self, "new": value,
+            }
         if info.kind == "input":
             self.inputs_set += 1
             if self.inputs_set == self.input_count and not self.executed:
+                if self.vm._journals:
+                    raise CircomError(
+                        "component execution triggered inside a shared-"
+                        "condition branch (unsupported; hoist the component "
+                        "inputs out of the branch)"
+                    )
                 self.vm.run_instance(self)
+
+    def unset_signal(self, name, idx):
+        """Undo helper for shared-branch journaling."""
+        info = self.signals[name]
+        del info.values[idx]
+        if info.kind == "input":
+            self.inputs_set -= 1
 
     def get_signal(self, name, idx):
         info = self.signals[name]
@@ -174,12 +247,21 @@ class WitnessVM:
     """Runs main with given inputs; collects the full signal assignment."""
 
     def __init__(self, program: lang.Program, field: Field, driver=None,
-                 allow_logs: bool = True):
+                 allow_logs: bool = True, accel=None):
+        from .accelerator import MpcAccelerator
+
         self.prog = program
         self.field = field
         self.d = driver or PlainDriver(field)
+        self.accel = accel or MpcAccelerator()
         self.logs: list[str] = []
         self.allow_logs = allow_logs
+        self._journals: list[dict] = []  # shared-branch write journals
+        # accumulated shared branch conditions (AND of nested shared-if /
+        # ternary predicates); guards div-by-untaken-branch and softens
+        # asserts, mirroring the reference's IfCtxStack (mpc_vm.rs:96-203,
+        # Div opcode at mpc_vm.rs:615-622)
+        self._branch_conds: list = []
 
     # -- public API ---------------------------------------------------------
     def run(self, inputs: dict) -> "Instance":
@@ -218,7 +300,7 @@ class WitnessVM:
             pos = 0
             for n in input_names:
                 for idx in _indices(main.signals[n].dims):
-                    main.set_signal(n, idx, int(flat[pos]) % self.field.p)
+                    main.set_signal(n, idx, self.d.norm(flat[pos]))
                     pos += 1
         else:
             for name, val in inputs.items():
@@ -229,13 +311,14 @@ class WitnessVM:
                 if info.dims and len(flat) == _count(info.dims):
                     # accept flat row-major fill for array inputs
                     for pos, idx in enumerate(_indices(info.dims)):
-                        main.set_signal(name, idx, int(flat[pos]) % self.field.p)
+                        main.set_signal(name, idx, self.d.norm(flat[pos]))
                     continue
                 for idx, v in _flatten(val, info.dims, name):
-                    main.set_signal(name, idx, int(v) % self.field.p)
+                    main.set_signal(name, idx, self.d.norm(v))
         if not main.executed:
             missing = main.input_count - main.inputs_set
             raise CircomError(f"main not executed: {missing} inputs missing")
+        self.d.flush_asserts()  # batched shared `===` checks (one open round)
         return main
 
     def main_outputs(self, main: "Instance") -> list[int]:
@@ -283,7 +366,57 @@ class WitnessVM:
 
     def run_instance(self, inst: Instance):
         inst.executed = True
+        if self._try_accelerate(inst):
+            return
         self._exec_block(inst, inst.template.body)
+
+    # required driver op per accelerated component (skip when driver lacks it)
+    _ACCEL_CMP_OPS = {
+        "Num2Bits": "num2bits",
+        "AddBits": "addbits",
+        "IsZero": "eq",
+        "Poseidon2": "poseidon2",
+    }
+
+    def _try_accelerate(self, inst: Instance) -> bool:
+        """Component-level MPC accelerator dispatch (accelerator.rs:124-300):
+        when every input is set and at least one is shared, replace the
+        template body with one driver-level protocol op whose outputs and
+        intermediate signals reproduce the circom trace exactly."""
+        name = inst.template.name
+        in_names = [n for n in inst.signal_order
+                    if inst.signals[n].kind == "input"]
+        flat_in = []
+        for n in in_names:
+            info = inst.signals[n]
+            for idx in _indices(info.dims):
+                flat_in.append(info.values[idx])
+        if not self.accel.has_cmp(name, len(flat_in)):
+            return False
+        if not any(self.d.is_shared(v) for v in flat_in):
+            return False  # plain trace: run the template body as written
+        if not hasattr(self.d, self._ACCEL_CMP_OPS.get(name, "")):
+            return False
+        out_slots = []
+        inter_slots = []
+        for n in inst.signal_order:
+            info = inst.signals[n]
+            if info.kind == "output":
+                out_slots += [(n, idx) for idx in _indices(info.dims)]
+            elif info.kind == "intermediate":
+                inter_slots += [(n, idx) for idx in _indices(info.dims)]
+        outs, inters = self.accel.run_cmp(name, self.d, flat_in,
+                                          len(out_slots))
+        if len(outs) != len(out_slots) or len(inters) > len(inter_slots):
+            raise CircomError(
+                f"accelerator {name}: trace shape mismatch "
+                f"({len(outs)}/{len(out_slots)} outputs)"
+            )
+        for (n, idx), v in zip(out_slots, outs):
+            inst.set_signal(n, idx, v)
+        for (n, idx), v in zip(inter_slots, inters):
+            inst.set_signal(n, idx, v)
+        return True
 
     # -- statement execution -------------------------------------------------
     def _exec_block(self, inst, stmts):
@@ -299,7 +432,7 @@ class WitnessVM:
                 inst.decl_signal(s.name, s.kind, dims)
             if s.init is not None:
                 v = self._eval_in(inst, s.init)
-                inst.set_signal(s.name, (), v % self.d.p)
+                inst.set_signal(s.name, (), self.d.norm(v))
         elif isinstance(s, lang.VarDecl):
             dims = [self._eval_in(inst, d) for d in s.dims]
             if dims:
@@ -326,12 +459,12 @@ class WitnessVM:
         elif isinstance(s, lang.ConstraintEq):
             l = self._eval_in(inst, s.l)
             r = self._eval_in(inst, s.r)
-            if l != r:
-                raise CircomError(
-                    f"constraint violated in {inst.template.name}: {l} != {r}"
-                )
+            self._assert_eq(l, r, f" in {inst.template.name}")
         elif isinstance(s, lang.If):
-            if self.d.is_true(self._eval_in(inst, s.cond)):
+            cond = self._eval_in(inst, s.cond)
+            if self.d.is_shared(cond):
+                self._exec_shared_if(inst, s, cond)
+            elif self.d.is_true(cond):
                 self._exec_scoped(inst, s.then)
             elif s.els:
                 self._exec_scoped(inst, s.els)
@@ -348,8 +481,16 @@ class WitnessVM:
             while self.d.is_true(self._eval_in(inst, s.cond)):
                 self._exec_scoped(inst, s.body)
         elif isinstance(s, lang.Assert):
-            if not self.d.is_true(self._eval_in(inst, s.cond)):
-                raise CircomError(f"assert failed in {inst.template.name}")
+            c = self._eval_in(inst, s.cond)
+            if self._branch_conds:
+                # assert only where taken: cond * is_zero(c) must be 0
+                z = self.d.eq(c, 0)
+                self.d.assert_eq(
+                    self.d.mul(self._branch_conds[-1], z), 0,
+                    f" in {inst.template.name}",
+                )
+            else:
+                self.d.assert_true(c, f" in {inst.template.name}")
         elif isinstance(s, lang.Log):
             if self.allow_logs:
                 parts = []
@@ -363,12 +504,108 @@ class WitnessVM:
         else:
             raise CircomError(f"unhandled statement {s}")
 
+    def _assert_eq(self, l, r, ctx):
+        """Elementwise `===` (arrays recurse); inside a shared branch the
+        constraint applies only where the branch is taken, so assert
+        cond * (l - r) == 0 instead."""
+        if isinstance(l, list) or isinstance(r, list):
+            if (not isinstance(l, list) or not isinstance(r, list)
+                    or len(l) != len(r)):
+                raise CircomError(f"constraint dimension mismatch{ctx}")
+            for a, b in zip(l, r):
+                self._assert_eq(a, b, ctx)
+            return
+        if self._branch_conds:
+            diff = self.d.mul(self._branch_conds[-1], self.d.sub(l, r))
+            self.d.assert_eq(diff, 0, ctx)
+        else:
+            self.d.assert_eq(l, r, ctx)
+
     def _exec_scoped(self, inst, stmts):
         inst.vars.append({})
         try:
             self._exec_block(inst, stmts)
         finally:
             inst.vars.pop()
+
+    # -- shared-condition branching -----------------------------------------
+    # Mirrors the reference VM's if-handling on shared predicates
+    # (circom-mpc-vm/src/mpc_vm.rs:312): execute BOTH branches, journal every
+    # write, undo, then commit cmux(cond, then_value, else_value) per
+    # location. Writes present in only one branch multiplex against the
+    # prior value (vars) or public 0 (previously-unset signals).
+
+    def _run_journaled(self, inst, stmts) -> dict:
+        self._journals.append({})
+        try:
+            self._exec_scoped(inst, stmts)
+        finally:
+            journal = self._journals.pop()
+            for key, entry in reversed(list(journal.items())):
+                if key[0] == "sig":
+                    entry["inst"].unset_signal(key[2], key[3])
+                else:
+                    holder, idx = entry["holder"], key[3]
+                    if not idx:
+                        holder[key[2]] = entry["old"]
+                    else:
+                        v = holder[key[2]]
+                        for i in idx[:-1]:
+                            v = v[i]
+                        v[idx[-1]] = entry["old"]
+        return journal
+
+    def _cmux_value(self, cond, t, f):
+        if isinstance(t, list) or isinstance(f, list):
+            if not isinstance(t, list) or not isinstance(f, list) or \
+                    len(t) != len(f):
+                raise CircomError(
+                    "shared-condition branches assign incompatible arrays"
+                )
+            return [self._cmux_value(cond, a, b) for a, b in zip(t, f)]
+        return self.d.cmux(cond, t, f)
+
+    def _push_branch(self, cond, truthy: bool):
+        """Push the accumulated shared condition for one branch (the
+        reference's IfCtxStack::push_shared / toggle, mpc_vm.rs:160-203)."""
+        c = cond if truthy else self.d.lnot(cond)
+        if self._branch_conds:
+            c = self.d.land(self._branch_conds[-1], c)
+        self._branch_conds.append(c)
+
+    def _exec_shared_if(self, inst, s, cond):
+        self._push_branch(cond, True)
+        try:
+            j_then = self._run_journaled(inst, s.then)
+        finally:
+            self._branch_conds.pop()
+        self._push_branch(cond, False)
+        try:
+            j_else = self._run_journaled(inst, s.els or [])
+        finally:
+            self._branch_conds.pop()
+        keys = list(j_then) + [k for k in j_else if k not in j_then]
+        for key in keys:
+            et, ee = j_then.get(key), j_else.get(key)
+            if key[0] == "sig":
+                holder = (et or ee)["inst"]
+                prior = 0  # previously unset (double-assign raised otherwise)
+                vt = et["new"] if et else prior
+                vf = ee["new"] if ee else prior
+                holder.set_signal(key[2], key[3], self._cmux_value(cond, vt, vf))
+            else:
+                entry = et or ee
+                holder, idx = entry["holder"], key[3]
+                vt = et["new"] if et else entry["old"]
+                vf = ee["new"] if ee else entry["old"]
+                merged = self._cmux_value(cond, vt, vf)
+                if not idx:
+                    holder[key[2]] = merged
+                else:
+                    v = holder[key[2]]
+                    for i in idx[:-1]:
+                        v = v[i]
+                    v[idx[-1]] = merged
 
     def _exec_assign(self, inst, s: lang.Assign):
         if s.op == "expr":
@@ -474,11 +711,22 @@ class WitnessVM:
                         f"{_count(rem)} slots"
                     )
                 for pos, sub in enumerate(_indices(rem)):
-                    holder.set_signal(name, idx + sub, flat[pos] % self.d.p)
+                    holder.set_signal(name, idx + sub, self.d.norm(flat[pos]))
                 return
-            holder.set_signal(name, idx, val % self.d.p if isinstance(val, int) else val)
+            holder.set_signal(name, idx, self.d.norm(val))
             return
         if kind == "var":
+            if self._journals:
+                key = ("var", id(holder), name, idx)
+                j = self._journals[-1]
+                if key not in j:
+                    old = holder.get(name)
+                    if idx:
+                        for i in idx:
+                            old = old[i]
+                    j[key] = {"holder": holder, "old": old, "new": val}
+                else:
+                    j[key]["new"] = val
             if not idx:
                 holder[name] = val
             else:
@@ -516,13 +764,29 @@ class WitnessVM:
             if e.op == "-":
                 return d.neg(v)
             if e.op == "!":
-                return int(not d.is_true(v))
+                return d.lnot(v)
             if e.op == "~":
                 return d.bnot(v)
         if isinstance(e, lang.Tern):
+            c = self._eval(e.c, inst)
+            if d.is_shared(c):
+                # shared condition: evaluate both arms under their branch
+                # conditions, multiplex (mpc_vm.rs:312; the branch-cond stack
+                # guards divisions inside the untaken arm)
+                self._push_branch(c, True)
+                try:
+                    t = self._eval(e.t, inst)
+                finally:
+                    self._branch_conds.pop()
+                self._push_branch(c, False)
+                try:
+                    f = self._eval(e.f, inst)
+                finally:
+                    self._branch_conds.pop()
+                return d.cmux(c, t, f)
             return (
                 self._eval(e.t, inst)
-                if d.is_true(self._eval(e.c, inst))
+                if d.is_true(c)
                 else self._eval(e.f, inst)
             )
         if isinstance(e, lang.ArrayLit):
@@ -539,6 +803,14 @@ class WitnessVM:
             return d.sub(l, r)
         if op == "*":
             return d.mul(l, r)
+        if op in ("/", "\\", "%") and self._branch_conds and (
+            d.is_shared(r) or d.norm(r) == 0
+        ):
+            # inside a shared branch the untaken side may divide by zero;
+            # the reference guards the divisor with cmux(cond, rhs, 1)
+            # (mpc_vm.rs Div opcode, :615-622). Public nonzero divisors
+            # need no guard.
+            r = d.cmux(self._branch_conds[-1], r, 1)
         if op == "/":
             return d.div(l, r)
         if op == "\\":
@@ -558,11 +830,11 @@ class WitnessVM:
         if op == "==":
             return d.eq(l, r)
         if op == "!=":
-            return 1 - d.eq(l, r)
+            return d.neq(l, r)
         if op == "&&":
-            return int(d.is_true(l) and d.is_true(r))
+            return d.land(l, r)
         if op == "||":
-            return int(d.is_true(l) or d.is_true(r))
+            return d.lor(l, r)
         if op == "&":
             return d.band(l, r)
         if op == "|":
@@ -580,6 +852,11 @@ class WitnessVM:
             raise CircomError(f"unknown function {call.name}")
         fn = self.prog.functions[call.name]
         args = [self._eval(a, inst) for a in call.args]
+        if (self.accel.has_fn(call.name)
+                and any(self.d.is_shared(a) for a in args)):
+            # function-level accelerator (accelerator.rs:133-171): functions
+            # produce no witness signals, so replacement is always trace-safe
+            return self.accel.run_fn(call.name, self.d, args)
         finst = Instance(self, lang.Template(call.name, fn.params, fn.body),
                          args)
         finst.executed = True
@@ -610,7 +887,7 @@ def _flatten(val, dims, name):
                     v = v[0]
                 else:
                     raise CircomError(f"input {name}: too many dimensions")
-            out.append((tuple(idx), int(v)))
+            out.append((tuple(idx), v))
             return
         if not isinstance(v, (list, tuple)) or len(v) != dims[depth]:
             raise CircomError(f"input {name}: expected {dims[depth]} entries")

@@ -59,6 +59,52 @@ def witness_vector(vm: interp.WitnessVM, main: Instance,
     return out
 
 
+def witness_labels(vm: interp.WitnessVM, main: Instance,
+                   public_inputs: list[str] | None = None) -> list[str]:
+    """Debug companion of witness_vector: 'component.path.signal[idx]' per
+    wire, same ordering."""
+    out = ["1"]
+    pubs = set(public_inputs or vm.prog.main_public)
+
+    def names(inst, name, prefix):
+        info = inst.signals[name]
+        return [
+            f"{prefix}{name}" + "".join(f"[{i}]" for i in idx)
+            for idx in _indices(info.dims)
+        ]
+
+    for name in main.signal_order:
+        if main.signals[name].kind == "output":
+            out.extend(names(main, name, "main."))
+    for want_pub in (True, False):
+        for name in main.signal_order:
+            if main.signals[name].kind == "input" and (name in pubs) == want_pub:
+                out.extend(names(main, name, "main."))
+
+    def visit(inst, is_main, prefix):
+        for name in inst.signal_order:
+            kind = inst.signals[name].kind
+            if is_main and kind in ("input", "output"):
+                continue
+            if not is_main and kind in ("output", "input"):
+                out.extend(names(inst, name, prefix))
+            elif kind == "intermediate":
+                out.extend(names(inst, name, prefix))
+        for cname in inst.components:
+            comp = inst.components[cname]
+            items = (
+                comp.items() if isinstance(comp, dict) else [((), comp)]
+            )
+            for idx, ch in items:
+                sub = f"{prefix}{cname}" + "".join(
+                    f"[{i}]" for i in (idx if isinstance(idx, tuple) else (idx,))
+                ) + "." if idx != () else f"{prefix}{cname}."
+                visit(ch, False, sub)
+
+    visit(main, True, "main.")
+    return out
+
+
 def n_public(vm: interp.WitnessVM, main: Instance) -> int:
     """Instance count = 1 + #outputs + #public inputs (snarkjs nPublic+1)."""
     pubs = set(vm.prog.main_public)

@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon sitecustomize force-selects the TPU backend via
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
+# var above — override it back so tests run on the virtual-8-device CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
