@@ -247,6 +247,22 @@ def scalar_mul(spec: CurveSpec, P, scalar_std):
     return jax.lax.fori_loop(0, nbits, body, point_inf(spec, shape))
 
 
+def to_affine(spec: CurveSpec, P):
+    """Batch-normalize Jacobian points to affine-or-infinity form
+    (Z in {0, 1}): x = X/Z^2, y = Y/Z^3. Vectorized field inversion;
+    points at infinity keep Z = 0 (the canonical form `msm` requires)."""
+    o = spec.ops
+    X, Y, Z = P
+    inf = o.is_zero(Z)
+    zsafe = o.select(inf, o.one_like(Z), Z)
+    zi = o.inv(zsafe)
+    zi2 = o.mul(zi, zi)
+    x = o.mul(X, zi2)
+    y = o.mul(Y, o.mul(zi2, zi))
+    one = o.one_like(Z)
+    return (x, y, o.select(inf, o.zeros_like(Z), one))
+
+
 # --------------------------------------------------------------------------
 # host <-> device
 # --------------------------------------------------------------------------

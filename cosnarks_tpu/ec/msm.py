@@ -4,18 +4,23 @@ Replaces arkworks' rayon-parallel `msm_unchecked` used in all reference
 provers (co-groth16/src/groth16.rs:221-288, co-groth16/src/mpc/rep3.rs
 msm_public_points_hs). Algorithm, mapped to static-shape SPMD:
 
- 1. window digits per scalar (c-bit, limb-aligned shifts — pure uint32 ops)
- 2. per window, in chunks of K points:
-    sort (digit, point) by digit (XLA sort), then a *segmented*
-    jax.lax.associative_scan with the complete Jacobian add as the combine
-    -> per-bucket partial sums in log depth, full-width vector ops
-    (a scatter-add does not exist for the EC group law; sorting + log-depth
-    scan is the data-oblivious equivalent)
- 3. bucket-weighted reduction  sum_b b*S_b  via two more associative scans
- 4. window Horner combine (c doublings per window) in one jitted scan
+ 1. signed c-bit window digits (buckets halved: |d| <= 2^(c-1), point
+    negation absorbs the sign — negating y is one field sub)
+ 2. per window, sort point indices by bucket id (one XLA sort per window)
+    and compute per-bucket segment starts/lengths (searchsorted)
+ 3. bucket accumulation by *segment offset*: iterate t = 0..max_seg_len,
+    each step gathers the t-th point of every (window, bucket) segment and
+    performs one fused complete mixed-add (`pallas madd`, Jacobian +=
+    affine) across all nwin*B lanes. Total work is ~nwin*N mixed adds —
+    the O(N log N) complete-add scans of the naive formulation are gone —
+    and every step is one Pallas custom call over a wide batch.
+ 4. weighted bucket reduction  sum_b b*S_b  via two log-depth
+    associative scans over the bucket axis (complete Jacobian adds)
+ 5. window Horner combine (c doublings per window) in one jitted scan
 
-Everything is batch-parallel over full arrays -> maps onto the VPU and
-shards over a mesh along the point axis (bucket partials then psum).
+Multi-chip: shard the point axis, run steps 1-3 per device on its slice,
+tree-add the (nwin, B) bucket accumulators over the mesh axis, then run
+4-5 replicated (see __graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
@@ -31,76 +36,107 @@ from . import curve as ec
 from .curve import CurveSpec
 
 
-def window_digits(spec: CurveSpec, scalars_std, c: int):
-    """(N, nlimbs) standard-form scalars -> (nwin, N) uint32 digits."""
-    if LIMB_BITS % c != 0 and c % LIMB_BITS != 0:
-        raise ValueError("window size must be limb-aligned")
-    nbits = spec.scalar_field.nlimbs * LIMB_BITS
-    nwin = -(-nbits // c)
+def _raw_digits(spec: CurveSpec, scalars_std, c: int):
+    """(N, nlimbs) standard-form scalars -> (nwin, N) uint32 raw c-bit
+    digits, LSB window first. c <= LIMB_BITS (digits span <= 2 limbs)."""
+    if c > LIMB_BITS:
+        raise ValueError("window size must be <= limb width")
+    f = spec.scalar_field
+    nbits = f.nlimbs * LIMB_BITS
+    nwin = -(-f.bits // c)
     mask = np.uint32((1 << c) - 1)
     outs = []
     for w in range(nwin):
         bit0 = w * c
         limb = bit0 // LIMB_BITS
         shift = bit0 % LIMB_BITS
-        d = (scalars_std[..., limb] >> np.uint32(shift)) & mask
-        if shift + c > LIMB_BITS and limb + 1 < scalars_std.shape[-1]:
-            # digit spans limb boundary (c > 16 only)
-            hi = scalars_std[..., limb + 1] << np.uint32(LIMB_BITS - shift)
-            d = (d | hi) & mask
-        outs.append(d)
+        d = scalars_std[..., limb] >> np.uint32(shift)
+        if shift + c > LIMB_BITS and limb + 1 < f.nlimbs:
+            d = d | (scalars_std[..., limb + 1] << np.uint32(LIMB_BITS - shift))
+        outs.append(d & mask)
     return jnp.stack(outs)
 
 
-def _bucket_accumulate_chunk(spec: CurveSpec, bucket_sums, digits, pts, c: int):
-    """Add one chunk's points into per-bucket sums (the sorted-scan step)."""
-    K = digits.shape[0]
-    order = jnp.argsort(digits)
-    sd = digits[order]
-    sp = tuple(x[order] for x in pts)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sd[1:] != sd[:-1]]
-    )  # segment starts
+def signed_digits(spec: CurveSpec, scalars_std, c: int):
+    """Signed digit recoding: returns (nwin, N) int32 digits in
+    [-(2^(c-1)-1), 2^(c-1)] so that sum_w d_w 2^(cw) = scalar.
 
-    def combine(a, b):
-        pa, fa = a[:-1], a[-1]
-        pb, fb = b[:-1], b[-1]
-        merged = ec.add(spec, pa, pb)
-        pt = ec.select_point(spec, fb, pb, merged)
-        return pt + (fa | fb,)
+    Requires scalar < 2^field.bits with the top window unable to overflow:
+    field.bits - (nwin-1)*c < c (holds for both curves for 8 <= c <= 16).
+    """
+    f = spec.scalar_field
+    nwin = -(-f.bits // c)
+    top_max = (1 << (f.bits - (nwin - 1) * c)) - 1 + 1  # raw + carry
+    if top_max > (1 << (c - 1)):
+        raise ValueError(f"window {c} would overflow the top signed digit")
+    raw = _raw_digits(spec, scalars_std, c).astype(jnp.int32)
+    half = np.int32(1 << (c - 1))
+    full = np.int32(1 << c)
+    outs = []
+    carry = jnp.zeros_like(raw[0])
+    for w in range(nwin):
+        v = raw[w] + carry
+        over = v > half
+        outs.append(jnp.where(over, v - full, v))
+        carry = over.astype(jnp.int32)
+    return jnp.stack(outs)
 
-    scanned = jax.lax.associative_scan(combine, sp + (first,))
-    seg_sum = scanned[:-1]
-    is_last = jnp.concatenate([sd[1:] != sd[:-1], jnp.ones((1,), bool)])
-    # digit 0 contributes nothing; drop it together with non-last positions
-    target = jnp.where(is_last & (sd != 0), sd, np.uint32(1 << c))
-    staged = ec.point_inf(spec, (1 << c,))
-    staged = tuple(
-        st.at[target].set(v, mode="drop") for st, v in zip(staged, seg_sum)
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
+    """Full MSM: signed digits -> sorted buckets -> offset accumulation ->
+    weighted reduction -> Horner. One jit per (N, c) signature."""
+    o = spec.ops
+    X, Y, Z = pts
+    N = X.shape[0]
+    B = (1 << (c - 1)) + 1  # buckets 0..2^(c-1); bucket 0 is dropped
+    inf_in = o.is_zero(Z)  # (N,) input points at infinity contribute 0
+
+    digits = signed_digits(spec, scalars_std, c)  # (nwin, N)
+    nwin = digits.shape[0]
+    bucket = jnp.abs(digits).astype(jnp.uint32)
+    sign = digits < 0
+
+    order = jnp.argsort(bucket, axis=1)  # (nwin, N) stable
+    sortedb = jnp.take_along_axis(bucket, order, axis=1)
+    sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+
+    boundaries = jax.vmap(
+        lambda sb: jnp.searchsorted(sb, jnp.arange(B + 1, dtype=jnp.uint32))
+    )(sortedb)  # (nwin, B+1)
+    starts = boundaries[:, :B]
+    lens = boundaries[:, 1:] - starts
+    max_len = jnp.max(lens[:, 1:])  # longest non-zero bucket segment
+
+    lane_live = jnp.arange(B, dtype=jnp.uint32)[None, :] > 0  # drop bucket 0
+
+    def body(state):
+        t, acc = state
+        pos = jnp.minimum(starts + t, N - 1)
+        valid = (t < lens) & lane_live
+        pidx = jnp.take_along_axis(order, pos, axis=1)  # (nwin, B)
+        flat = pidx.reshape(-1)
+        qx = jnp.take(X, flat, axis=0).reshape((nwin, B) + X.shape[1:])
+        qy = jnp.take(Y, flat, axis=0).reshape((nwin, B) + Y.shape[1:])
+        sgn = jnp.take_along_axis(sorted_sign, pos, axis=1)
+        qy = o.select(sgn, o.neg(qy), qy)
+        valid = valid & ~inf_in[flat].reshape(nwin, B)
+        acc = ec.madd(spec, acc, (qx, qy), valid)
+        return t + np.uint32(1), acc
+
+    init = (jnp.uint32(0), ec.point_inf(spec, (nwin, B)))
+    _, acc = jax.lax.while_loop(lambda s: s[0] < max_len, body, init)
+
+    # weighted reduction sum_{b>=1} b*S_b via suffix-sum of suffix-sums
+    rev = tuple(x[:, 1:][:, ::-1] for x in acc)
+    suffix = jax.lax.associative_scan(
+        lambda a, b: ec.add(spec, a, b), rev, axis=1
     )
-    return ec.add(spec, bucket_sums, staged)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 3, 4))
-def _window_msm(spec: CurveSpec, digits, pts, c: int, chunk: int):
-    """One window: bucket sums over all chunks, then sum_b b*S_b."""
-    N = digits.shape[0]
-    nchunks = N // chunk
-    xs = (
-        digits.reshape(nchunks, chunk),
-        tuple(x.reshape((nchunks, chunk) + x.shape[1:]) for x in pts),
+    total = jax.lax.associative_scan(
+        lambda a, b: ec.add(spec, a, b), suffix, axis=1
     )
-
-    def body(carry, x):
-        d, p = x
-        return _bucket_accumulate_chunk(spec, carry, d, p, c), None
-
-    bucket_sums, _ = jax.lax.scan(body, ec.point_inf(spec, (1 << c,)), xs)
-    # weighted reduction: sum_{b>=1} b*S_b = sum_j (suffix sums T_j)
-    rev = tuple(x[1:][::-1] for x in bucket_sums)
-    suffix = jax.lax.associative_scan(lambda a, b: ec.add(spec, a, b), rev)
-    total = jax.lax.associative_scan(lambda a, b: ec.add(spec, a, b), suffix)
-    return tuple(x[-1] for x in total)
+    wsums = tuple(x[:, -1] for x in total)  # (nwin,)
+    return _horner_combine(spec, wsums, c)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -144,43 +180,26 @@ def _msm_small(spec: CurveSpec, points, scalars_std):
 
 
 def default_window(n: int) -> int:
-    if n >= 1 << 15:
-        return 16
-    if n >= 1 << 8:
-        return 8
-    return 4
+    """Balance accumulation (nwin*N*imbalance) vs reduction (nwin*B*log B):
+    keep average segment length >= ~32 so gather lanes stay busy."""
+    if n >= 1 << 19:
+        return 13
+    if n >= 1 << 16:
+        return 12
+    if n >= 1 << 13:
+        return 10
+    return 8
 
 
 def msm(spec: CurveSpec, points, scalars_std, c: int | None = None,
-        chunk: int = 1 << 16):
-    """MSM of device Jacobian `points` (leading axis N) with standard-form
-    scalar limb arrays (N, nlimbs). Returns a single Jacobian point.
-
-    Digits/windows are processed with a per-window jitted kernel (compiled
-    once per (N, c, chunk) signature) plus one jitted Horner combine.
-    """
+        chunk: int | None = None):
+    """MSM of device Jacobian `points` (leading axis N, affine-or-infinity:
+    Z in {0, 1}) with standard-form scalar limb arrays (N, nlimbs).
+    Returns a single Jacobian point. `chunk` is accepted for backward
+    compatibility and ignored."""
     N = points[0].shape[0]
     if N <= 64:
         return _msm_small(spec, points, scalars_std)
     if c is None:
         c = default_window(N)
-    chunk = min(chunk, max(32, 1 << max(0, N - 1).bit_length()))
-    if N % chunk != 0:
-        pad = -N % chunk if N > chunk else chunk - N
-        zpad = lambda x: jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
-        )
-        scalars_std = zpad(scalars_std)
-        inf = ec.point_inf(spec, (pad,))
-        points = tuple(
-            jnp.concatenate([x, jnp.broadcast_to(i, (pad,) + x.shape[1:])])
-            for x, i in zip(points, inf)
-        )
-        N = points[0].shape[0]
-    digits = window_digits(spec, scalars_std, c)
-    wsums = [
-        _window_msm(spec, digits[w], points, c, min(chunk, N))
-        for w in range(digits.shape[0])
-    ]
-    stacked = tuple(jnp.stack([w[i] for w in wsums]) for i in range(3))
-    return _horner_combine(spec, stacked, c)
+    return _pippenger_signed(spec, points, scalars_std, c)

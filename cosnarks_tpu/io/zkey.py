@@ -170,3 +170,163 @@ def g2_to_ints(fq: Field, pt: np.ndarray):
     if x == (0, 0) and y == (0, 0):
         return None
     return (x, y)
+
+
+# -- PLONK zkey ------------------------------------------------------------
+
+@dataclasses.dataclass
+class PlonkZkey:
+    """snarkjs PLONK zkey (prover type 2). All limb arrays are Montgomery.
+
+    Sections (snarkjs zkey format, mirrored from the external circom-types
+    crate the reference uses, co-plonk/src/lib.rs:5):
+      2 header: n8q,q,n8r,r,nVars,nPublic,domainSize,nAdditions,
+                nConstraints,k1,k2,QM,QL,QR,QO,QC,S1,S2,S3 (G1), X2 (G2)
+      3 additions: nAdditions x (u32 a, u32 b, Fr ca, Fr cb)
+      4/5/6 A/B/C wire maps: nConstraints x u32
+      7..11 QM/QL/QR/QO/QC: domain coeffs + 4*domain evals
+      12 sigma1|2|3: 3 x (coeffs + 4n evals)
+      13 lagrange: max(nPublic,1)? x (coeffs + 4n evals)
+      14 p_tau: (domain + 6) G1 points
+    """
+
+    fq: Field
+    fr: Field
+    n_vars: int
+    n_public: int
+    domain_size: int
+    n_additions: int
+    n_constraints: int
+    k1: int  # host ints (standard form)
+    k2: int
+    qm_c: np.ndarray  # commitments (Montgomery limb G1)
+    ql_c: np.ndarray
+    qr_c: np.ndarray
+    qo_c: np.ndarray
+    qc_c: np.ndarray
+    s1_c: np.ndarray
+    s2_c: np.ndarray
+    s3_c: np.ndarray
+    x2: np.ndarray  # G2
+    add_a: np.ndarray  # (n_additions,) u32
+    add_b: np.ndarray
+    add_ca: np.ndarray  # (n_additions, nr) Montgomery limbs
+    add_cb: np.ndarray
+    map_a: np.ndarray  # (n_constraints,) u32
+    map_b: np.ndarray
+    map_c: np.ndarray
+    qm: tuple  # (coeffs (n, nr), evals4 (4n, nr)) Montgomery limbs
+    ql: tuple
+    qr: tuple
+    qo: tuple
+    qc: tuple
+    s1: tuple
+    s2: tuple
+    s3: tuple
+    lagrange: list  # [(coeffs, evals4)] per public input
+    p_tau: np.ndarray  # (domain+6) G1
+
+
+def _poly4(view, off, n, n8r):
+    nr = n8r // 2
+    coeffs = le_bytes_to_limbs(view[off : off + n * n8r], n8r).reshape(n, nr)
+    off += n * n8r
+    evals = le_bytes_to_limbs(view[off : off + 4 * n * n8r], n8r).reshape(
+        4 * n, nr
+    )
+    return (coeffs, evals), off + 4 * n * n8r
+
+
+def parse_plonk_zkey(data: bytes) -> PlonkZkey:
+    c = Container(data, b"zkey")
+    (prover_type,) = np.frombuffer(c.section(1), dtype="<u4")
+    if prover_type != PLONK:
+        raise ValueError(f"not a plonk zkey (prover type {prover_type})")
+    h = c.section(2)
+    off = 0
+    n8q, off = read_u32(h, off)
+    q = limbs_to_int(le_bytes_to_limbs(h[off : off + n8q], n8q)[0])
+    off += n8q
+    n8r, off = read_u32(h, off)
+    r = limbs_to_int(le_bytes_to_limbs(h[off : off + n8r], n8r)[0])
+    off += n8r
+    fq = _FIELDS_BY_P[q]
+    fr = _FIELDS_BY_P[r]
+    n_vars, off = read_u32(h, off)
+    n_public, off = read_u32(h, off)
+    domain_size, off = read_u32(h, off)
+    n_additions, off = read_u32(h, off)
+    n_constraints, off = read_u32(h, off)
+
+    def fr_scalar(o):
+        v = limbs_to_int(le_bytes_to_limbs(h[o : o + n8r], n8r)[0])
+        return fr.from_mont_int(v), o + n8r
+
+    def g1(o):
+        return _g1s(h[o : o + 2 * n8q], n8q)[0], o + 2 * n8q
+
+    k1, off = fr_scalar(off)
+    k2, off = fr_scalar(off)
+    qm_c, off = g1(off)
+    ql_c, off = g1(off)
+    qr_c, off = g1(off)
+    qo_c, off = g1(off)
+    qc_c, off = g1(off)
+    s1_c, off = g1(off)
+    s2_c, off = g1(off)
+    s3_c, off = g1(off)
+    x2 = _g2s(h[off : off + 4 * n8q], n8q)[0]
+
+    adds = c.section(3)
+    nr = n8r // 2
+    add_a = np.zeros(n_additions, np.uint32)
+    add_b = np.zeros(n_additions, np.uint32)
+    add_ca = np.zeros((n_additions, nr), np.uint32)
+    add_cb = np.zeros((n_additions, nr), np.uint32)
+    stride = 8 + 2 * n8r
+    for i in range(n_additions):
+        o = i * stride
+        add_a[i], _ = read_u32(adds, o)
+        add_b[i], _ = read_u32(adds, o + 4)
+        add_ca[i] = le_bytes_to_limbs(adds[o + 8 : o + 8 + n8r], n8r)[0]
+        add_cb[i] = le_bytes_to_limbs(
+            adds[o + 8 + n8r : o + 8 + 2 * n8r], n8r
+        )[0]
+
+    def umap(sid):
+        return np.frombuffer(c.section(sid), dtype="<u4").astype(np.uint32)
+
+    qm, _ = _poly4(c.section(7), 0, domain_size, n8r)
+    ql, _ = _poly4(c.section(8), 0, domain_size, n8r)
+    qr, _ = _poly4(c.section(9), 0, domain_size, n8r)
+    qo, _ = _poly4(c.section(10), 0, domain_size, n8r)
+    qc, _ = _poly4(c.section(11), 0, domain_size, n8r)
+    sig = c.section(12)
+    s1, o = _poly4(sig, 0, domain_size, n8r)
+    s2, o = _poly4(sig, o, domain_size, n8r)
+    s3, o = _poly4(sig, o, domain_size, n8r)
+    lag_view = c.section(13)
+    n_lag = len(lag_view) // (5 * domain_size * n8r)
+    lagrange = []
+    o = 0
+    for _ in range(n_lag):
+        lp, o = _poly4(lag_view, o, domain_size, n8r)
+        lagrange.append(lp)
+
+    return PlonkZkey(
+        fq=fq, fr=fr, n_vars=n_vars, n_public=n_public,
+        domain_size=domain_size, n_additions=n_additions,
+        n_constraints=n_constraints, k1=k1, k2=k2,
+        qm_c=qm_c, ql_c=ql_c, qr_c=qr_c, qo_c=qo_c, qc_c=qc_c,
+        s1_c=s1_c, s2_c=s2_c, s3_c=s3_c, x2=x2,
+        add_a=add_a, add_b=add_b, add_ca=add_ca, add_cb=add_cb,
+        map_a=umap(4), map_b=umap(5), map_c=umap(6),
+        qm=qm, ql=ql, qr=qr, qo=qo, qc=qc, s1=s1, s2=s2, s3=s3,
+        lagrange=lagrange,
+        p_tau=_g1s(c.section(14), n8q),
+    )
+
+
+def load_plonk_zkey(path) -> PlonkZkey:
+    with open(path, "rb") as f:
+        return parse_plonk_zkey(f.read())

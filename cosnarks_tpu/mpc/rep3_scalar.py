@@ -45,10 +45,15 @@ class AShare:
 
 @dataclasses.dataclass(frozen=True, slots=True)
 class BShare:
-    """Replicated binary (XOR) share (a, b) = (y_i, y_{i+1}) as ints."""
+    """Replicated binary (XOR) share (a, b) = (y_i, y_{i+1}) as ints.
+
+    `nbits` is an optional value-width bound (value < 2^nbits) the VM driver
+    tracks to pick cheap conversions (bit_inject for 1-bit values, skip the
+    mod-p reduction when nbits < field bits); None = unknown/full width."""
 
     a: int
     b: int
+    nbits: int | None = dataclasses.field(default=None, compare=False)
 
 
 def _ceil_log2(x: int) -> int:
@@ -160,7 +165,11 @@ class Rep3Scalar:
             return AShare((x.a + v) % p, x.b)
         if self.id == 2:
             return AShare(x.a, (x.b + v) % p)
-        return x
+        # fresh object even when components are unchanged: the VM driver
+        # caches domain conversions by object identity, so object lineage
+        # must be structurally identical across parties (else caches
+        # diverge and the parties desynchronize their network rounds)
+        return AShare(x.a, x.b)
 
     def sub_shared_by_public(self, x: AShare, v: int) -> AShare:
         return self.add_public(x, -v % self.p)
@@ -290,7 +299,7 @@ class Rep3Scalar:
             return BShare(x.a ^ v, x.b)
         if self.id == 2:
             return BShare(x.a, x.b ^ v)
-        return x
+        return BShare(x.a, x.b)  # fresh: see add_public
 
     def band_public(self, x: BShare, v: int) -> BShare:
         return BShare(x.a & v, x.b & v)

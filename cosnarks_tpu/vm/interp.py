@@ -262,6 +262,8 @@ class WitnessVM:
         # asserts, mirroring the reference's IfCtxStack (mpc_vm.rs:96-203,
         # Div opcode at mpc_vm.rs:615-622)
         self._branch_conds: list = []
+        self._branch_raw: list = []  # per-level raw (un-ANDed) conditions
+        self._fn_ctx: list = []  # per-active-function-call return state
 
     # -- public API ---------------------------------------------------------
     def run(self, inputs: dict) -> "Instance":
@@ -482,12 +484,12 @@ class WitnessVM:
                 self._exec_scoped(inst, s.body)
         elif isinstance(s, lang.Assert):
             c = self._eval_in(inst, s.cond)
-            if self._branch_conds:
-                # assert only where taken: cond * is_zero(c) must be 0
+            guard = self._live_guard()
+            if guard is not None:
+                # assert only where live: guard * is_zero(c) must be 0
                 z = self.d.eq(c, 0)
                 self.d.assert_eq(
-                    self.d.mul(self._branch_conds[-1], z), 0,
-                    f" in {inst.template.name}",
+                    self.d.mul(guard, z), 0, f" in {inst.template.name}"
                 )
             else:
                 self.d.assert_true(c, f" in {inst.template.name}")
@@ -500,9 +502,45 @@ class WitnessVM:
                     )
                 self.logs.append(" ".join(parts))
         elif isinstance(s, lang.Return):
-            raise _Return(self._eval_in(inst, s.value))
+            v = self._eval_in(inst, s.value)
+            ctx = self._fn_ctx[-1] if self._fn_ctx else None
+            if ctx is not None and len(self._branch_conds) > ctx["depth"]:
+                # predicated return inside a shared-condition branch of this
+                # function: first-return-wins multiplexing (the reference VM
+                # predicates ReturnFn the same way, mpc_vm.rs:312 if-ctx).
+                # Statements after a predicated return in the SAME branch
+                # still execute (their writes only feed the not-returned
+                # path via the final multiplex).
+                raws = self._branch_raw[ctx["depth"]:]
+                local = raws[0]
+                for r in raws[1:]:
+                    local = self.d.land(local, r)
+                if ctx["returned"] is None:
+                    eff = local
+                    prior = _zeros_shaped(v)
+                    ctx["returned"] = local
+                else:
+                    eff = self.d.land(local, self.d.lnot(ctx["returned"]))
+                    prior = ctx["retval"]
+                    ctx["returned"] = self.d.lor(ctx["returned"], local)
+                ctx["retval"] = self._cmux_value(eff, v, prior)
+            else:
+                raise _Return(v)
         else:
             raise CircomError(f"unhandled statement {s}")
+
+    def _live_guard(self):
+        """Combined liveness predicate: shared branch condition AND
+        not-yet-returned (for predicated function returns). None = fully
+        live (plain execution)."""
+        g = None
+        if self._branch_conds:
+            g = self._branch_conds[-1]
+        ctx = self._fn_ctx[-1] if self._fn_ctx else None
+        if ctx is not None and ctx["returned"] is not None:
+            nr = self.d.lnot(ctx["returned"])
+            g = nr if g is None else self.d.land(g, nr)
+        return g
 
     def _assert_eq(self, l, r, ctx):
         """Elementwise `===` (arrays recurse); inside a shared branch the
@@ -568,22 +606,28 @@ class WitnessVM:
     def _push_branch(self, cond, truthy: bool):
         """Push the accumulated shared condition for one branch (the
         reference's IfCtxStack::push_shared / toggle, mpc_vm.rs:160-203)."""
-        c = cond if truthy else self.d.lnot(cond)
+        raw = cond if truthy else self.d.lnot(cond)
+        c = raw
         if self._branch_conds:
             c = self.d.land(self._branch_conds[-1], c)
         self._branch_conds.append(c)
+        self._branch_raw.append(raw)
+
+    def _pop_branch(self):
+        self._branch_conds.pop()
+        self._branch_raw.pop()
 
     def _exec_shared_if(self, inst, s, cond):
         self._push_branch(cond, True)
         try:
             j_then = self._run_journaled(inst, s.then)
         finally:
-            self._branch_conds.pop()
+            self._pop_branch()
         self._push_branch(cond, False)
         try:
             j_else = self._run_journaled(inst, s.els or [])
         finally:
-            self._branch_conds.pop()
+            self._pop_branch()
         keys = list(j_then) + [k for k in j_else if k not in j_then]
         for key in keys:
             et, ee = j_then.get(key), j_else.get(key)
@@ -777,12 +821,12 @@ class WitnessVM:
                 try:
                     t = self._eval(e.t, inst)
                 finally:
-                    self._branch_conds.pop()
+                    self._pop_branch()
                 self._push_branch(c, False)
                 try:
                     f = self._eval(e.f, inst)
                 finally:
-                    self._branch_conds.pop()
+                    self._pop_branch()
                 return d.cmux(c, t, f)
             return (
                 self._eval(e.t, inst)
@@ -860,11 +904,31 @@ class WitnessVM:
         finst = Instance(self, lang.Template(call.name, fn.params, fn.body),
                          args)
         finst.executed = True
+        ctx = {"depth": len(self._branch_conds), "returned": None,
+               "retval": None}
+        self._fn_ctx.append(ctx)
         try:
             self._exec_block(finst, fn.body)
         except _Return as r:
+            # merge any predicated (shared-branch) returns: first-wins
+            if ctx["returned"] is not None:
+                return self._cmux_value(ctx["returned"], ctx["retval"],
+                                        r.value)
             return r.value
+        finally:
+            self._fn_ctx.pop()
+        if ctx["returned"] is not None:
+            # control fell off the end but every path through the shared
+            # branches returned (circom rejects incomplete coverage)
+            return ctx["retval"]
         raise CircomError(f"function {call.name} did not return")
+
+
+def _zeros_shaped(v):
+    """Structural zero matching a return value (scalar or nested lists)."""
+    if isinstance(v, list):
+        return [_zeros_shaped(x) for x in v]
+    return 0
 
 
 def _as_flat(v):

@@ -1,20 +1,33 @@
 """Rep3 MPC driver for the circom witness-extension interpreter.
 
 Counterpart of the reference's CircomRep3VmWitnessExtension
-(co-circom/circom-mpc-vm/src/mpc/rep3.rs): VM values are either public
-python ints or replicated AShare pairs; every op dispatches on the
-public/shared split, calling into the host-side protocol kernel
-(mpc/rep3_scalar.py). Comparisons apply circom's signed semantics by
-shifting with p/2+1 before unsigned comparison (mpc/rep3.rs:89-101);
-bit ops route through A2B Direct bit-decomposition (our default — the
-TPU-fit path; the reference defaults to Yao, conversion.rs:27-35).
+(co-circom/circom-mpc-vm/src/mpc/rep3.rs): VM values are public python
+ints, replicated arithmetic shares (AShare) or replicated binary shares
+(BShare — the reference's Rep3VmType::Binary). Values stay LAZILY in the
+binary domain across chains of bit ops (xor/and/or/shifts/mod-2^k are
+free or one round there), converting to arithmetic only when an
+arithmetic op or a signal write needs them — this is what makes
+bit-twiddling witness hints (SHA-256's sha256compression function) feasible:
+the eager formulation pays a full A2B+B2A (two Kogge-Stone adders) per
+bit op.
+
+Width tracking: BShare.nbits bounds the value; 1-bit values convert via
+bit_inject (one round instead of an adder chain), and values bounded
+below the field width skip the mod-p reduction on conversion.
+
+Comparisons apply circom's signed semantics by shifting with p/2+1 before
+unsigned comparison (mpc/rep3.rs:89-101); bit decomposition routes through
+A2B Direct (our default — the TPU-fit path; the reference defaults to Yao,
+conversion.rs:27-35).
 """
 
 from __future__ import annotations
 
 from ..ff.spec import Field
-from ..mpc.rep3_scalar import AShare, HostRng, Rep3Scalar
+from ..mpc.rep3_scalar import AShare, BShare, HostRng, Rep3Scalar
 from .interp import CircomError, PlainDriver
+
+_CACHE_CAP = 1 << 17
 
 
 class Rep3Driver:
@@ -27,13 +40,56 @@ class Rep3Driver:
         self._plain = PlainDriver(field)
         self.allow_leaky_logs = allow_leaky_logs
         self._deferred: list = []  # (diff share, ctx) pending `===` checks
+        self._acache: dict = {}  # id(BShare) -> (BShare, AShare)
+        self._bcache: dict = {}  # id(AShare) -> (AShare, BShare)
 
-    # -- plumbing ------------------------------------------------------------
+    # -- domain plumbing -----------------------------------------------------
     def is_shared(self, x) -> bool:
-        return isinstance(x, AShare)
+        return isinstance(x, (AShare, BShare))
+
+    def _arith(self, x):
+        """Public int / AShare passthrough; BShare -> AShare (cached)."""
+        if not isinstance(x, BShare):
+            return x
+        hit = self._acache.get(id(x))
+        if hit is not None and hit[0] is x:
+            return hit[1]
+        nb = x.nbits if x.nbits is not None else self.pr.k
+        if nb <= 1:
+            r = self.pr.bit_inject(x)
+        else:
+            y = x
+            if nb >= self.p.bit_length():
+                # value may exceed p: one conditional subtract reduces it
+                y = self.pr._sub_p_cmux_many([x], self.pr.k + 1)[0]
+            r = self.pr.b2a(y)
+        if len(self._acache) > _CACHE_CAP:
+            self._acache.clear()
+        self._acache[id(x)] = (x, r)
+        return r
+
+    def _bin(self, x) -> BShare:
+        """AShare -> BShare via A2B Direct (cached). x must be shared."""
+        if isinstance(x, BShare):
+            return x
+        hit = self._bcache.get(id(x))
+        if hit is not None and hit[0] is x:
+            return hit[1]
+        r = self.pr.a2b(x)
+        r = BShare(r.a, r.b, self.pr.k)
+        if len(self._bcache) > _CACHE_CAP:
+            self._bcache.clear()
+        self._bcache[id(x)] = (x, r)
+        return r
 
     def norm(self, x):
-        return x if isinstance(x, AShare) else int(x) % self.p
+        """Canonical VM value for signal storage: public int mod p or
+        arithmetic share (binary-domain values convert here)."""
+        if isinstance(x, BShare):
+            return self._arith(x)
+        if isinstance(x, AShare):
+            return x
+        return int(x) % self.p
 
     def _val(self, x: AShare) -> AShare:
         """Signed-order shift: subtract p/2+1 (mpc/rep3.rs val())."""
@@ -43,21 +99,25 @@ class Rep3Driver:
         return (c - self._shift) % self.p
 
     def to_share(self, x) -> AShare:
+        if isinstance(x, BShare):
+            return self._arith(x)
         return x if isinstance(x, AShare) else self.pr.promote(int(x) % self.p)
 
     def open(self, x):
-        return self.pr.open(x) if isinstance(x, AShare) else x
+        return self.pr.open(self._arith(x)) if self.is_shared(x) else x
 
     # -- arithmetic ----------------------------------------------------------
     def add(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.add(a, b)
         if sa and sb:
             return self.pr.add(a, b)
-        return self.pr.add_public(a if sa else b, b if sa else a)
+        return self.pr.add_public(a if sa else b, (b if sa else a) % self.p)
 
     def sub(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.sub(a, b)
@@ -68,6 +128,7 @@ class Rep3Driver:
         return self.pr.sub_public_by_shared(a, b)
 
     def mul(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.mul(a, b)
@@ -76,9 +137,11 @@ class Rep3Driver:
         return self.pr.mul_public(a if sa else b, (b if sa else a) % self.p)
 
     def neg(self, a):
+        a = self._arith(a)
         return self.pr.neg(a) if self.is_shared(a) else self._plain.neg(a)
 
     def div(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.div(a, b)
@@ -115,8 +178,9 @@ class Rep3Driver:
             if b == 0:
                 raise CircomError("modulo by zero")
             if b & (b - 1) == 0:
-                bits = self.pr.a2b(a)
-                return self.pr.b2a(self.pr.band_public(bits, b - 1))
+                t = b.bit_length() - 1
+                bits = self._bin(a)
+                return BShare(bits.a & (b - 1), bits.b & (b - 1), t)
             raise CircomError(
                 "shared modulo by a non-power-of-2 public divisor is not "
                 "implemented"
@@ -124,6 +188,7 @@ class Rep3Driver:
         raise CircomError("shared-by-shared modulo unsupported")
 
     def pow(self, a, b):
+        a = self._arith(a)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.pow(a, b)
@@ -134,6 +199,7 @@ class Rep3Driver:
         return self.pr.pow_public(a, b)
 
     def sqrt(self, a):
+        a = self._arith(a)
         if not self.is_shared(a):
             return self._plain.sqrt(a)
         s = self.pr.sqrt(a)
@@ -149,10 +215,9 @@ class Rep3Driver:
     def num2bits(self, a, n):
         if not self.is_shared(a):
             return self._plain.num2bits(a, n)
-        bits = self.pr.a2b(a)
+        bits = self._bin(a)
         singles = [
-            self.pr.band_public(self.pr.bshift_r(bits, i), 1)
-            for i in range(n)
+            BShare((bits.a >> i) & 1, (bits.b >> i) & 1, 1) for i in range(n)
         ]
         return self.pr.bit_inject_many(singles)
 
@@ -169,9 +234,9 @@ class Rep3Driver:
         for x in b_bits:
             vb = self.add(self.add(vb, vb), x)
         s = self.add(va, vb)
-        bits = self.pr.a2b(self.to_share(s))
+        bits = self._bin(self.to_share(s))
         singles = [
-            self.pr.band_public(self.pr.bshift_r(bits, i), 1)
+            BShare((bits.a >> i) & 1, (bits.b >> i) & 1, 1)
             for i in range(n + 1)
         ]
         arith = self.pr.bit_inject_many(singles)
@@ -180,6 +245,7 @@ class Rep3Driver:
 
     # -- comparisons (signed circom order) -----------------------------------
     def lt(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.lt(a, b)
@@ -194,6 +260,7 @@ class Rep3Driver:
         return one_minus(1, self.pr.bit_inject(bit))
 
     def le(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.le(a, b)
@@ -209,6 +276,7 @@ class Rep3Driver:
         return self.pr.bit_inject(bit)
 
     def eq(self, a, b):
+        a, b = self._arith(a), self._arith(b)
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.eq(a, b)
@@ -222,51 +290,61 @@ class Rep3Driver:
             return self.pr.sub_public_by_shared(1, r)
         return 1 - r
 
-    # -- bit ops (through A2B Direct) ----------------------------------------
-    def _reduce_b(self, x):
-        """Reduce a binary share with value < 2^k to value mod p."""
-        return self.pr._sub_p_cmux_many([x], self.pr.k + 1)[0]
+    # -- bit ops (lazy binary domain) ----------------------------------------
+    def _nb(self, x: BShare) -> int:
+        return x.nbits if x.nbits is not None else self.pr.k
 
     def band(self, a, b):
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.band(a, b)
         if sa and sb:
-            xb, yb = self.pr.a2b_many([a, b])
-            return self.pr.b2a(self.pr.band(xb, yb))
-        bits = self.pr.a2b(a if sa else b)
-        return self.pr.b2a(self.pr.band_public(bits, (b if sa else a) % self.p))
+            xb, yb = self._bin(a), self._bin(b)
+            nb = min(self._nb(xb), self._nb(yb))
+            r = self.pr.band(xb, yb, nb)
+            return BShare(r.a, r.b, nb)
+        bits = self._bin(a if sa else b)
+        v = (b if sa else a) % self.p
+        nb = min(self._nb(bits), v.bit_length())
+        return BShare(bits.a & v, bits.b & v, nb)
 
     def bor(self, a, b):
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.bor(a, b)
         if sa and sb:
-            xb, yb = self.pr.a2b_many([a, b])
-            res = self.pr.bor(xb, yb)
+            xb, yb = self._bin(a), self._bin(b)
+            nb = max(self._nb(xb), self._nb(yb))
+            r = self.pr.bor(xb, yb, nb)
         else:
-            bits = self.pr.a2b(a if sa else b)
-            res = self.pr.bor_public(bits, (b if sa else a) % self.p)
-        return self.pr.b2a(self._reduce_b(res))
+            xb = self._bin(a if sa else b)
+            v = (b if sa else a) % self.p
+            nb = max(self._nb(xb), v.bit_length())
+            r = self.pr.bor_public(xb, v)
+        return BShare(r.a, r.b, nb)
 
     def bxor(self, a, b):
         sa, sb = self.is_shared(a), self.is_shared(b)
         if not sa and not sb:
             return self._plain.bxor(a, b)
         if sa and sb:
-            xb, yb = self.pr.a2b_many([a, b])
-            res = self.pr.bxor(xb, yb)
-        else:
-            bits = self.pr.a2b(a if sa else b)
-            res = self.pr.bxor_public(bits, (b if sa else a) % self.p)
-        return self.pr.b2a(self._reduce_b(res))
+            xb, yb = self._bin(a), self._bin(b)
+            nb = max(self._nb(xb), self._nb(yb))
+            return BShare(xb.a ^ yb.a, xb.b ^ yb.b, nb)
+        xb = self._bin(a if sa else b)
+        v = (b if sa else a) % self.p
+        nb = max(self._nb(xb), v.bit_length())
+        r = self.pr.bxor_public(xb, v)
+        return BShare(r.a, r.b, nb)
 
     def bnot(self, a):
         if not self.is_shared(a):
             return self._plain.bnot(a)
-        mask = (1 << self.p.bit_length()) - 1
-        bits = self.pr.a2b(a)
-        return self.pr.b2a(self._reduce_b(self.pr.bxor_public(bits, mask)))
+        nb = self.p.bit_length()
+        mask = (1 << nb) - 1
+        bits = self._bin(a)
+        r = self.pr.bxor_public(bits, mask)
+        return BShare(r.a, r.b, nb)
 
     def shl(self, a, k):
         if self.is_shared(k):
@@ -275,7 +353,9 @@ class Rep3Driver:
             return self._plain.shl(a, k)
         if k >= 512:
             return 0
-        return self.pr.mul_public(a, pow(2, k, self.p))
+        if isinstance(a, BShare) and self._nb(a) + k < self.p.bit_length():
+            return BShare(a.a << k, a.b << k, self._nb(a) + k)
+        return self.pr.mul_public(self._arith(a), pow(2, k, self.p))
 
     def shr(self, a, k):
         if self.is_shared(k):
@@ -284,8 +364,9 @@ class Rep3Driver:
             return self._plain.shr(a, k)
         if k >= 512:
             return 0
-        bits = self.pr.a2b(a)
-        return self.pr.b2a(self.pr.bshift_r(bits, k))
+        bits = self._bin(a)
+        nb = max(0, self._nb(bits) - k)
+        return BShare(bits.a >> k, bits.b >> k, nb)
 
     # -- booleans ------------------------------------------------------------
     def is_true(self, a):
@@ -311,12 +392,13 @@ class Rep3Driver:
     def lnot(self, a):
         if not self.is_shared(a):
             return self._plain.lnot(a)
-        return self.pr.sub_public_by_shared(1, a)
+        return self.pr.sub_public_by_shared(1, self._arith(a))
 
     def cmux(self, c, t, f):
         if not self.is_shared(c):
             return t if self.is_true(c) else f
-        return self.pr.cmux(c, self.to_share(t), self.to_share(f))
+        return self.pr.cmux(self._arith(c), self.to_share(t),
+                            self.to_share(f))
 
     # -- assertions (open only the predicate) --------------------------------
     # `===` checks on shared values are DEFERRED and batch-verified: each
@@ -351,7 +433,7 @@ class Rep3Driver:
     def assert_true(self, c, ctx=""):
         if not self.is_shared(c):
             return self._plain.assert_true(c, ctx)
-        if self.pr.is_zero_open(c):
+        if self.pr.is_zero_open(self._arith(c)):
             raise CircomError(f"assert failed{ctx} (on shared value)")
 
 
