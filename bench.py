@@ -26,8 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 BASELINE_PROXY_PTS_PER_SEC = 2.0e6
 
 N = 1 << 16
-WINDOW = 8  # c=16 halves runtime but its bucket-scan graph compiles too
-CHUNK = 1 << 12  # slowly on this box; revisit with a fused-combine kernel
+WINDOW = 13  # signed-digit window (buckets = 2^(c-1))
 
 
 def main():
@@ -40,7 +39,7 @@ def main():
 
     # synthetic random points: batched [k_i]G on-device (generation untimed,
     # cached on disk so bench reruns skip the one-time scalar-mul sweep)
-    cache = f"/tmp/cosnarks_bench_points_{N}.npz"
+    cache = f"/tmp/cosnarks_bench_affine_{N}.npz"
     if os.path.exists(cache):
         data = np.load(cache)
         points = tuple(jnp.asarray(data[k]) for k in ("x", "y", "z"))
@@ -48,7 +47,7 @@ def main():
         gen = ec.encode_points(spec, [spec.generator])
         genN = tuple(jnp.broadcast_to(x[0], (N,) + x.shape[1:]) for x in gen)
         ks = rng.integers(0, 1 << 16, size=(N, F.nlimbs)).astype(np.uint32)
-        points = ec.scalar_mul(spec, genN, jnp.asarray(ks))
+        points = ec.to_affine(spec, ec.scalar_mul(spec, genN, jnp.asarray(ks)))
         host_pts = [np.asarray(jax.device_get(x)) for x in points]
         np.savez(cache, x=host_pts[0], y=host_pts[1], z=host_pts[2])
         points = tuple(jnp.asarray(x) for x in host_pts)
@@ -58,7 +57,7 @@ def main():
     scalars = jnp.asarray(scalars)
 
     def run():
-        r = msm.msm(spec, points, scalars, c=WINDOW, chunk=CHUNK)
+        r = msm.msm(spec, points, scalars, c=WINDOW)
         # force completion: fetch the result (block_until_ready does not
         # actually block over the axon tunnel)
         return np.asarray(jax.device_get(r))

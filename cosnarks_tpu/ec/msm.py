@@ -82,66 +82,247 @@ def signed_digits(spec: CurveSpec, scalars_std, c: int):
     return jnp.stack(outs)
 
 
+CHUNK_K = 32  # points folded sequentially per lane per level
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
-    """Full MSM: signed digits -> sorted buckets -> offset accumulation ->
-    weighted reduction -> Horner. One jit per (N, c) signature."""
+    """Full MSM: signed digits -> sorted buckets -> chunked segmented
+    reduction -> weighted reduction -> Horner. One jit per (N, c).
+
+    Bucket accumulation is DISTRIBUTION-INDEPENDENT: sorted (bucket, point)
+    pairs are folded in chunks of CHUNK_K per lane; segments fully inside a
+    chunk are written to their bucket, chunk-boundary partials (prefix /
+    suffix) recurse to the next level with 2/CHUNK_K the size. Work is
+    ~nwin*N mixed adds + O(N/K) complete adds regardless of how skewed the
+    digit histogram is — a per-bucket offset walk would degenerate to
+    O(max segment) sequential steps (the top window of a field scalar puts
+    half the points into bucket 1; equal-scalar MSMs put ALL of them there).
+    """
     o = spec.ops
     X, Y, Z = pts
     N = X.shape[0]
-    B = (1 << (c - 1)) + 1  # buckets 0..2^(c-1); bucket 0 is dropped
+    B = (1 << (c - 1)) + 1  # buckets 0..2^(c-1)
     inf_in = o.is_zero(Z)  # (N,) input points at infinity contribute 0
 
     digits = signed_digits(spec, scalars_std, c)  # (nwin, N)
     nwin = digits.shape[0]
-    bucket = jnp.abs(digits).astype(jnp.uint32)
+    bucket = jnp.abs(digits).astype(jnp.int32)
     sign = digits < 0
 
     order = jnp.argsort(bucket, axis=1)  # (nwin, N) stable
     sortedb = jnp.take_along_axis(bucket, order, axis=1)
     sorted_sign = jnp.take_along_axis(sign, order, axis=1)
 
-    boundaries = jax.vmap(
-        lambda sb: jnp.searchsorted(sb, jnp.arange(B + 1, dtype=jnp.uint32))
-    )(sortedb)  # (nwin, B+1)
-    starts = boundaries[:, :B]
-    lens = boundaries[:, 1:] - starts
-    max_len = jnp.max(lens[:, 1:])  # longest non-zero bucket segment
-
-    lane_live = jnp.arange(B, dtype=jnp.uint32)[None, :] > 0  # drop bucket 0
-
-    def body(state):
-        t, acc = state
-        pos = jnp.minimum(starts + t, N - 1)
-        valid = (t < lens) & lane_live
-        pidx = jnp.take_along_axis(order, pos, axis=1)  # (nwin, B)
-        flat = pidx.reshape(-1)
-        qx = jnp.take(X, flat, axis=0).reshape((nwin, B) + X.shape[1:])
-        qy = jnp.take(Y, flat, axis=0).reshape((nwin, B) + Y.shape[1:])
-        sgn = jnp.take_along_axis(sorted_sign, pos, axis=1)
-        qy = o.select(sgn, o.neg(qy), qy)
-        valid = valid & ~inf_in[flat].reshape(nwin, B)
-        acc = ec.madd(spec, acc, (qx, qy), valid)
-        return t + np.uint32(1), acc
-
-    init = (jnp.uint32(0), ec.point_inf(spec, (nwin, B)))
-    _, acc = jax.lax.while_loop(lambda s: s[0] < max_len, body, init)
-
-    # weighted reduction sum_{b>=1} b*S_b via suffix-sum of suffix-sums
-    rev = tuple(x[:, 1:][:, ::-1] for x in acc)
-    suffix = jax.lax.associative_scan(
-        lambda a, b: ec.add(spec, a, b), rev, axis=1
+    acc = _bucket_accumulate(
+        spec, order, sortedb, sorted_sign, X, Y, inf_in, B, nwin
     )
-    total = jax.lax.associative_scan(
-        lambda a, b: ec.add(spec, a, b), suffix, axis=1
-    )
-    wsums = tuple(x[:, -1] for x in total)  # (nwin,)
+
+    buckets = tuple(x[:, 1:] for x in acc)
+    wsums = _weighted_bucket_sum(spec, buckets)  # (nwin,)
     return _horner_combine(spec, wsums, c)
+
+
+def _weighted_bucket_sum(spec: CurveSpec, buckets):
+    """sum_{j} (j+1) * buckets[:, j] per window.
+
+    Weight-split decomposition: with j = H*hi + lo (buckets reshaped to
+    (nwin, L, H) row-major? no: (nwin, L, H) with j = H*l + h):
+      sum (H*l + h + 1) S[l,h] = H * sum_l l*R_l + sum_h (h+1)*C_h
+    where R_l / C_h are row/column tree-sums. Cost ~2*B complete adds per
+    window instead of the 2*B*log B of a direct double-suffix ladder.
+    """
+    nwin, W = buckets[0].shape[:2]
+    if W & (W - 1):
+        raise ValueError("bucket width must be a power of two")
+    H = 1 << ((W - 1).bit_length() // 2)
+    L = W // H
+    s = tuple(x.reshape((nwin, L, H) + x.shape[2:]) for x in buckets)
+
+    def tree_sum(pts, axis):
+        m = pts[0].shape[axis]
+        while m > 1:
+            half = m // 2
+            lo = tuple(jax.lax.slice_in_dim(x, 0, half, axis=axis)
+                       for x in pts)
+            hi = tuple(jax.lax.slice_in_dim(x, half, m, axis=axis)
+                       for x in pts)
+            pts = ec.add(spec, lo, hi)
+            m = half
+        return tuple(jnp.squeeze(x, axis=axis) for x in pts)
+
+    rows = tree_sum(s, 2)  # (nwin, L): R_l = sum_h S[l, h]
+    cols = tree_sum(s, 1)  # (nwin, H): C_h = sum_l S[l, h]
+    # sum_h (h+1) C_h : double suffix ladder on width H
+    w2 = tuple(x[:, 0] for x in _suffix_sums(
+        spec, _suffix_sums(spec, cols)))
+    # sum_l l * R_l : drop l=0 then double suffix ladder
+    rows1 = tuple(x[:, 1:] for x in rows)
+    w1 = tuple(x[:, 0] for x in _suffix_sums(
+        spec, _suffix_sums(spec, rows1)))
+    for _ in range(H.bit_length() - 1):  # * H
+        w1 = ec.double(spec, w1)
+    return ec.add(spec, w1, w2)
+
+
+def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
+                       X, Y, inf_in, B: int, nwin: int):
+    """Chunked segmented reduction of sorted (bucket, point) streams into
+    (nwin, B) Jacobian bucket sums. See _pippenger_signed docstring.
+
+    Each level folds K consecutive entries per lane; a bucket whose segment
+    lies entirely inside one chunk is written (scatter-set — provably a
+    unique writer), boundary partials are re-emitted as a 2*(M/K)-entry
+    sorted stream for the next level. Invalid tails carry bucket id B,
+    which scatter-'drop's.
+    """
+    K = CHUNK_K
+    N = order.shape[1]
+    buckets = ec.point_inf(spec, (nwin, B))
+    w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
+
+    # ---- level 0: values fetched by point index ---------------------------
+    def fetch0(keys3, t, C):
+        pos = jax.lax.dynamic_index_in_dim(keys3["pos"], t, axis=2,
+                                           keepdims=False)  # (nwin, C)
+        flat = pos.reshape(-1)
+        qx = jnp.take(X, flat, axis=0).reshape((nwin, C) + X.shape[1:])
+        qy = jnp.take(Y, flat, axis=0).reshape((nwin, C) + Y.shape[1:])
+        sgn = jax.lax.dynamic_index_in_dim(keys3["sgn"], t, axis=2,
+                                           keepdims=False)
+        qy = spec.ops.select(sgn, spec.ops.neg(qy), qy)
+        valid = ~inf_in[flat].reshape(nwin, C)
+        one = spec.ops.one_like(qx)
+        zero = spec.ops.zeros_like(one)
+        qjac = (qx, qy, spec.ops.select(valid, one, zero))
+        return (qx, qy), qjac, valid
+
+    keys, vals = sortedb, None
+    extras = {"pos": order, "sgn": sorted_sign}
+    while True:
+        M = keys.shape[1]
+        Mp = -(-M // K) * K
+        if Mp != M:
+            keys = jnp.concatenate(
+                [keys, jnp.full((nwin, Mp - M), B, keys.dtype)], axis=1)
+            if vals is None:
+                extras = {
+                    "pos": jnp.concatenate(
+                        [extras["pos"],
+                         jnp.zeros((nwin, Mp - M), extras["pos"].dtype)],
+                        axis=1),
+                    "sgn": jnp.concatenate(
+                        [extras["sgn"],
+                         jnp.zeros((nwin, Mp - M), bool)], axis=1),
+                }
+            else:
+                inf = ec.point_inf(spec, (nwin, Mp - M))
+                vals = tuple(
+                    jnp.concatenate([v, i], axis=1)
+                    for v, i in zip(vals, inf)
+                )
+        C = Mp // K
+        keys3 = keys.reshape(nwin, C, K)
+        if vals is None:
+            fetch_extras = {
+                "pos": extras["pos"].reshape(nwin, C, K),
+                "sgn": extras["sgn"].reshape(nwin, C, K),
+            }
+
+            def fetch(t, _C=C, _e=fetch_extras):
+                return fetch0(_e, t, _C)
+        else:
+            vals3 = tuple(v.reshape((nwin, C, K) + v.shape[2:])
+                          for v in vals)
+
+            def fetch(t, _v=vals3, _C=C):
+                vj = tuple(
+                    jax.lax.dynamic_index_in_dim(x, t, axis=2,
+                                                 keepdims=False)
+                    for x in _v)
+                valid = ~spec.ops.is_zero(vj[2])
+                return None, vj, valid
+
+        first_key = keys3[:, :, 0]
+
+        def step(t, state):
+            run, cur_key, prefix, buckets = state
+            k = jax.lax.dynamic_index_in_dim(keys3, t, axis=2,
+                                             keepdims=False)
+            v_aff, v_jac, v_valid = fetch(t)
+            changed = k != cur_key
+            is_first = cur_key == first_key
+            prefix = ec.select_point(spec, changed & is_first, run, prefix)
+            flush = changed & ~is_first
+            widx = jnp.where(flush, cur_key, B)  # B drops
+            buckets = tuple(
+                bc.at[w_idx, widx].set(rc, mode="drop")
+                for bc, rc in zip(buckets, run)
+            )
+            if v_aff is not None:
+                grown = ec.madd(spec, run, v_aff, ~changed & v_valid)
+            else:
+                addend = ec.select_point(
+                    spec, ~changed & v_valid, v_jac,
+                    ec.point_inf(spec, v_jac[0].shape[:2]))
+                grown = ec.add(spec, run, addend)
+            run = ec.select_point(spec, changed, v_jac, grown)
+            return run, k, prefix, buckets
+
+        init = (ec.point_inf(spec, (nwin, C)), first_key,
+                ec.point_inf(spec, (nwin, C)), buckets)
+        run, cur_key, prefix, buckets = jax.lax.fori_loop(
+            0, K, step, init)
+
+        single = cur_key == first_key
+        prefix = ec.select_point(spec, single, run, prefix)
+        if C == 1:
+            # final: write the outermost prefix/suffix partials
+            pmask = first_key < B
+            pidx = jnp.where(pmask, first_key, B)
+            buckets = tuple(
+                bc.at[w_idx, pidx].set(pc, mode="drop")
+                for bc, pc in zip(buckets, prefix)
+            )
+            smask = ~single & (cur_key < B)
+            sidx = jnp.where(smask, cur_key, B)
+            buckets = tuple(
+                bc.at[w_idx, sidx].set(rc, mode="drop")
+                for bc, rc in zip(buckets, run)
+            )
+            return buckets
+        # emit (prefix, suffix) per chunk, ascending keys preserved;
+        # single-segment chunks emit an identity suffix on the same key
+        suf_key = jnp.where(single, first_key, cur_key)
+        suffix = ec.select_point(
+            spec, single, ec.point_inf(spec, (nwin, C)), run)
+        keys = jnp.stack([first_key, suf_key], axis=2).reshape(nwin, 2 * C)
+        vals = tuple(
+            jnp.stack([p, s], axis=2).reshape((nwin, 2 * C) + p.shape[2:])
+            for p, s in zip(prefix, suffix)
+        )
+
+
+def _suffix_sums(spec: CurveSpec, pts):
+    """suffix[i] = sum_{j >= i} pts[j] along axis 1, log-depth shift-adds."""
+    width = pts[0].shape[1]
+    inf = ec.point_inf(spec, pts[0].shape[:1] + (width,))
+    s = 1
+    while s < width:
+        shifted = tuple(
+            jnp.concatenate([x[:, s:], i[:, :s]], axis=1)
+            for x, i in zip(pts, inf)
+        )
+        pts = ec.add(spec, pts, shifted)
+        s *= 2
+    return pts
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _horner_combine(spec: CurveSpec, window_sums, c: int):
-    """sum_w 2^(c*w) W_w, scanning from the top window down."""
+    """sum_w 2^(c*w) W_w, scanning from the top window down. One fused
+    [2^c]acc + W kernel launch per window on TPU (dispatch-bound at 1-lane
+    shapes otherwise)."""
     rev = tuple(x[::-1] for x in window_sums)
 
     def body(acc, w):

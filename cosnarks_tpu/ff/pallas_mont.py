@@ -39,35 +39,58 @@ def cond_sub_p_lanes(field: Field, out: list):
 
 
 def mont_mul_lanes(field: Field, a: list, b: list) -> list:
-    """Fully-unrolled Montgomery multiply on lists of lane vectors.
+    """Montgomery multiply on lists of lane vectors, loop-based.
 
     The building block of every Pallas field/EC kernel: inputs and all 2n
-    product columns live in vector registers for the whole pipeline.
+    product columns live in VMEM for the whole pipeline. The limb loops are
+    `fori_loop`s over a stacked (n, TILE) array — an unrolled formulation
+    emits ~2 MB of Mosaic IR *per kernel call site* (16x16 schoolbook x
+    ~5 ops), which made every enclosing XLA graph megabytes big and pushed
+    whole-prover compile times into minutes.
     """
     n = field.nlimbs
     p_limbs = [np.uint32(x) for x in field.p_limbs]
     n0inv = np.uint32(field.n0inv)
-    zero = jnp.zeros_like(a[0])
-    cols = [zero] * (2 * n)
-    for i in range(n):
-        ai = a[i]
-        for j in range(n):
-            prod = ai * b[j]
-            cols[i + j] = cols[i + j] + (prod & MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    # Montgomery reduction: n steps, each folds column s away
-    for s in range(n):
-        m = (cols[s] * n0inv) & MASK
-        for j in range(n):
-            mp = m * p_limbs[j]
-            cols[s + j] = cols[s + j] + (mp & MASK)
-            cols[s + j + 1] = cols[s + j + 1] + (mp >> LIMB_BITS)
-        cols[s + 1] = cols[s + 1] + (cols[s] >> LIMB_BITS)
-    # carry propagate the surviving n columns
+    A = jnp.stack(a)  # (n, TILE)
+    B = jnp.stack(b)
+    tile = A.shape[1]
+    zrow = jnp.zeros((1, tile), jnp.uint32)
+    t0 = jnp.zeros((n + 1, tile), jnp.uint32)
+    # p limbs as a broadcast matrix, built ONCE from scalar constants via
+    # iota selects (array constants can't be captured; a per-step stack of
+    # n narrow (TILE,) muls wastes ~n/16 of the VPU)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, tile), 0)
+    p_mat = jnp.zeros((n, tile), jnp.uint32)
+    for j, pj in enumerate(p_limbs):
+        p_mat = jnp.where(row == j, pj, p_mat)
+
+    def step(i, t):
+        # CIOS iteration, all offsets static (Mosaic has no dynamic value
+        # slicing): fold in a_i*B, cancel column 0 with m*p, shift down.
+        sel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == i
+        # limbs are 16-bit: int32 reduce is exact (mosaic lacks u32 reduce)
+        ai = jnp.sum(
+            jnp.where(sel, A.astype(jnp.int32), 0), axis=0, keepdims=True
+        ).astype(jnp.uint32)  # (1, TILE)
+        prod = ai * B
+        # static-slice adds only (mosaic values support neither scatter-add
+        # nor dynamic slicing)
+        t = jnp.concatenate([t[:n] + (prod & MASK), t[n:]], axis=0)
+        t = jnp.concatenate([t[:1], t[1:] + (prod >> LIMB_BITS)], axis=0)
+        m = (t[0] * n0inv) & MASK
+        mp = m[None, :] * p_mat  # (n, TILE)
+        t = jnp.concatenate([t[:n] + (mp & MASK), t[n:]], axis=0)
+        t = jnp.concatenate([t[:1], t[1:] + (mp >> LIMB_BITS)], axis=0)
+        row1 = t[1] + (t[0] >> LIMB_BITS)  # column 0 is now 0 mod 2^16
+        return jnp.concatenate([row1[None], t[2:], zrow], axis=0)
+
+    t = jax.lax.fori_loop(0, n, step, t0)
+
+    # carry propagate the n result columns (cheap vs the n^2 product work)
     out = []
-    carry = zero
-    for k in range(n, 2 * n):
-        v = cols[k] + carry
+    carry = jnp.zeros_like(a[0])
+    for k in range(n):
+        v = t[k] + carry
         out.append(v & MASK)
         carry = v >> LIMB_BITS
     return cond_sub_p_lanes(field, out)
