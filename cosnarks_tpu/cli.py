@@ -36,10 +36,24 @@ def _net_from_config(path: str):
 
 
 def cmd_split_witness(args):
+    import struct
+
     from .ff.bigint import limbs_to_int
     from .io import shared, wtns, zkey
 
-    zk = zkey.load_groth16_zkey(args.zkey)
+    data = open(args.zkey, "rb").read()
+    # section 1 carries the prover type (1 = groth16, 2 = plonk)
+    off = 12
+    while True:
+        sid, size = struct.unpack("<Iq", data[off : off + 12])
+        if sid == 1:
+            prover_type = struct.unpack("<I", data[off + 12 : off + 16])[0]
+            break
+        off += 12 + size
+    if prover_type == zkey.PLONK:
+        zk = zkey.parse_plonk_zkey(data)
+    else:
+        zk = zkey.parse_groth16_zkey(data)
     _, w = wtns.load_wtns(args.witness)
     wit = [limbs_to_int(x) for x in w]
     n_inst = zk.n_public + 1
@@ -170,12 +184,60 @@ def _generate_witness_rep3(args, field):
         print(f"wrote {args.out}")
 
 
+def _plonk_prove_one_party(zk, swf, net):
+    from .io import shared as shared_mod
+    from .mpc import rep3 as rep3_mod
+    from .mpc import shamir as shamir_mod
+    from .plonk import drivers, prove
+
+    publics = [int(v) for v in swf.public_inputs]
+    if swf.protocol == shared_mod.PROTO_REP3:
+        st = rep3_mod.Rep3State.setup(net)
+        drv = drivers.Rep3PlonkDriver(zk.fr, net, st)
+        wit = rep3_mod.Share(swf.share_a, swf.share_b)
+    else:
+        st = shamir_mod.ShamirState.setup(net, zk.fr, swf.threshold,
+                                          pairs=64)
+        drv = drivers.ShamirPlonkDriver(zk.fr, net, st)
+        wit = swf.share_a
+    return prove.prove(zk, drv, publics, wit)
+
+
+def _generate_proof_plonk(args):
+    from .io import jsonio, shared, zkey
+
+    zk = zkey.load_plonk_zkey(args.zkey)
+    if args.local_parties:
+        from .mpc.net.local import run_parties
+
+        swfs = [
+            shared.read_shared_witness(open(p, "rb").read())
+            for p in args.witness
+        ]
+        proofs = run_parties(
+            [lambda net, s=s: _plonk_prove_one_party(zk, s, net)
+             for s in swfs]
+        )
+        proof = proofs[0]
+    else:
+        swf = shared.read_shared_witness(open(args.witness[0], "rb").read())
+        net = _net_from_config(args.config)
+        proof = _plonk_prove_one_party(zk, swf, net)
+    with open(args.out, "w") as fh:
+        json.dump(proof, fh, indent=1)
+    if args.public_input:
+        swf0 = shared.read_shared_witness(open(args.witness[0], "rb").read())
+        with open(args.public_input, "w") as fh:
+            fh.write(jsonio.public_to_json(swf0.public_inputs[1:]))
+    print(f"wrote {args.out}")
+
+
 def cmd_generate_proof(args):
     from .groth16 import prove
     from .io import jsonio, shared, zkey
 
-    if args.proof_system != "groth16":
-        sys.exit("only groth16 is implemented so far (plonk planned)")
+    if args.proof_system == "plonk":
+        return _generate_proof_plonk(args)
     zk = zkey.load_groth16_zkey(args.zkey)
 
     if args.local_parties:
@@ -229,13 +291,21 @@ def cmd_translate_witness(args):
 
 
 def cmd_verify(args):
-    from .groth16.verify import verify
     from .io import jsonio
 
-    vk = jsonio.vkey_from_json(open(args.vk).read())
-    proof = jsonio.proof_from_json(open(args.proof).read())
     pub = jsonio.public_from_json(open(args.public_input).read())
-    ok = verify(vk, proof, pub)
+    raw_proof = json.load(open(args.proof))
+    if (args.proof_system == "plonk"
+            or raw_proof.get("protocol") == "plonk"):
+        from .plonk.verify import verify as plonk_verify
+
+        ok = plonk_verify(json.load(open(args.vk)), raw_proof, pub)
+    else:
+        from .groth16.verify import verify
+
+        vk = jsonio.vkey_from_json(open(args.vk).read())
+        proof = jsonio.proof_from_json(open(args.proof).read())
+        ok = verify(vk, proof, pub)
     print("verification:", "OK" if ok else "FAILED")
     sys.exit(0 if ok else 1)
 

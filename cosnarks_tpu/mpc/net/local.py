@@ -44,7 +44,7 @@ class LocalNetwork(Network):
             )
 
 
-def run_parties(fns, n_parties: int | None = None, timeout: float = 600.0):
+def run_parties(fns, n_parties: int | None = None, timeout: float = 3600.0):
     """Run one closure per party on threads over a LocalNetwork; returns
     their results in party order. Mirrors the reference test harness pattern
     (tests/tests/circom/e2e_tests/rep3.rs:57-70)."""

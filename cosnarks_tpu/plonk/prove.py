@@ -41,17 +41,19 @@ class Transcript:
     def __init__(self, fr: Field, fq: Field):
         self.fr = fr
         self.fq = fq
+        self.nq = (fq.bits + 7) // 8  # 32 (bn254) / 48 (bls12-381)
+        self.nr = (fr.bits + 7) // 8
         self.buf = bytearray()
 
     def add_scalar(self, v: int):
-        self.buf += int(v % self.fr.p).to_bytes(32, "big")
+        self.buf += int(v % self.fr.p).to_bytes(self.nr, "big")
 
     def add_point(self, pt):
         if pt is None:
-            self.buf += b"\x00" * 64
+            self.buf += b"\x00" * (2 * self.nq)
         else:
-            self.buf += int(pt[0]).to_bytes(32, "big")
-            self.buf += int(pt[1]).to_bytes(32, "big")
+            self.buf += int(pt[0]).to_bytes(self.nq, "big")
+            self.buf += int(pt[1]).to_bytes(self.nq, "big")
 
     def challenge(self) -> int:
         return int.from_bytes(keccak256(bytes(self.buf)), "big") % self.fr.p
@@ -193,7 +195,7 @@ class PlonkProof(dict):
 
 
 def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
-          deterministic_b: bool = False) -> dict:
+          deterministic_b: bool = False, debug_hook=None) -> dict:
     """Run the 5-round prover. `public_ints` = wtns[0..=n_public]
     (leading 1 included; zeroed per snarkjs), `witness_share` = share vec of
     the remaining wires ((n_vars - n_public - 1, nlimbs) components).
@@ -286,6 +288,10 @@ def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
     ts2 = Transcript(fr, fq)
     ts2.add_scalar(beta)
     gamma = ts2.challenge()
+    if debug_hook:
+        debug_hook("A", commit_a)
+        debug_hook("beta", beta)
+        debug_hook("gamma", gamma)
 
     w_pows = [pow(w_n, i, fr.p) for i in range(n)]
     beta_w = mont.encode(fr, [beta * w for w in w_pows])
@@ -339,6 +345,11 @@ def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
     ts.add_point(commit_z)
     alpha = ts.challenge()
     alpha2 = alpha * alpha % fr.p
+    if debug_hook:
+        debug_hook("Z", commit_z)
+        debug_hook("alpha", alpha)
+        debug_hook("buffer_z", buffer_z)
+        debug_hook("T1c", None)
 
     len4 = 4 * n
     w4_pows = [pow(w_4n, i, fr.p) for i in range(len4)]
@@ -397,19 +408,25 @@ def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
     e3c = drv.add_public(
         ev_c, mont.add(fr, mont.mul(fr, bconst, s3e), gamma4))
 
-    # batched product level 1: raw a*b + the 8+8 mul4vec level-A products
-    l1_x = _concat(drv, [ev_a, e2a, e2a, ap, ap, e2c, e2c, cp, cp,
-                         e3a, e3a, ap, ap, e3c, e3c, cp, cp])
-    l1_y = _concat(drv, [ev_b, e2b, bp, e2b, bp, ev_z, zp, ev_z, zp,
-                         e3b, bp, e3b, bp, zw, zwp, zw, zwp])
+    # batched product level 1: raw a*b cross-blinding products (for e1/e1z)
+    # + the mul4vec level-A products for e2/e3 (ap*bp is shared — blinding
+    # polys are unshifted). ONE network round for all 18.
+    l1_x = _concat(drv, [ev_a, ev_a, ap, ap,
+                         e2a, e2a, ap, e2c, e2c, cp, cp,
+                         e3a, e3a, ap, e3c, e3c, cp, cp])
+    l1_y = _concat(drv, [ev_b, bp, ev_b, bp,
+                         e2b, bp, e2b, ev_z, zp, ev_z, zp,
+                         e3b, bp, e3b, zw, zwp, zw, zwp])
     l1 = drv.mul(l1_x, l1_y)
     parts = [_slice(drv, l1, slice(i * len4, (i + 1) * len4))
-             for i in range(17)]
-    a_b = parts[0]
-    (e2_ab, e2_abp, e2_apb, e2_apbp,
-     e2_cd, e2_cdp, e2_cpd, e2_cpdp) = parts[1:9]
-    (e3_ab, e3_abp, e3_apb, e3_apbp,
-     e3_cd, e3_cdp, e3_cpd, e3_cpdp) = parts[9:17]
+             for i in range(18)]
+    a_b, a_bp, ap_b, ap_bp = parts[0:4]
+    (e2_ab, e2_abp, e2_apb,
+     e2_cd, e2_cdp, e2_cpd, e2_cpdp) = parts[4:11]
+    (e3_ab, e3_abp, e3_apb,
+     e3_cd, e3_cdp, e3_cpd, e3_cpdp) = parts[11:18]
+    e2_apbp = ap_bp
+    e3_apbp = ap_bp
 
     def lvl2(ab, abp, apb, apbp, cd, cdp, cpd, cpdp):
         AB = [ab, drv.add(abp, apb), apbp]
@@ -466,10 +483,9 @@ def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
     e1 = drv.add(e1, drv.mul_public(ev_a, ql_e))
     e1 = drv.add(e1, drv.mul_public(ev_b, qr_e))
     e1 = drv.add(e1, drv.mul_public(ev_c, qo_e))
-    e1z = drv.mul_public(drv.add(drv.add(e2_abp, e2_apb)
-                                 if False else drv.add(
-                                     parts[2], parts[3]),
-                                 drv.mul_public(parts[4], z1_m)), qm_e)
+    # e1z: d/dZH part of (a + ap ZH)(b + bp ZH) Qm + blinded linear terms
+    a0 = drv.add(drv.add(a_bp, ap_b), drv.mul_public(ap_bp, z1_m))
+    e1z = drv.mul_public(a0, qm_e)
     e1z = drv.add(e1z, drv.mul_public(ap, ql_e))
     e1z = drv.add(e1z, drv.mul_public(bp, qr_e))
     e1z = drv.add(e1z, drv.mul_public(cp, qo_e))

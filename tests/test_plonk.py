@@ -109,13 +109,72 @@ def test_plonk_rep3_prove_and_verify(zk, witness_vals):
     fr = zk.fr
     publics = witness_vals[: zk.n_public + 1]
     priv_ints = witness_vals[zk.n_public + 1 :]
-    rng = np.random.default_rng(11)
-    shares = rep3.share_field_elements(fr, priv_ints, rng)
+    import random
+
+    shares = rep3.share_field_elements(fr, priv_ints, random.Random(11))
 
     def party(k):
         def go(net):
             state = rep3.Rep3State.setup(net, seed=bytes([k + 1]) * 32)
             drv = Rep3PlonkDriver(fr, net, state)
+            return prove.prove(zk, drv, publics, shares[k])
+
+        return go
+
+    proofs = run_parties([party(0), party(1), party(2)])
+    assert proofs[0] == proofs[1] == proofs[2]
+    vk = json.load(open(BASE + "/verification_key.json"))
+    assert verify.verify(vk, proofs[0], publics[1:])
+
+
+def test_plonk_bls12_381_plain():
+    base = "/root/reference/test_vectors/Plonk/bls12_381/multiplier2"
+    from cosnarks_tpu.ff import mont
+    from cosnarks_tpu.plonk import prove, verify
+    from cosnarks_tpu.plonk.drivers import PlainPlonkDriver
+
+    zkb = load_plonk_zkey(base + "/circuit.zkey")
+    _, w = wtns.load_wtns(base + "/witness.wtns")
+    vals = [limbs_to_int(x) for x in w]
+    vk = json.load(open(base + "/verification_key.json"))
+    ref = json.load(open(base + "/circom.proof"))
+    pub = json.load(open(base + "/public.json"))
+    assert verify.verify(vk, ref, pub)
+    publics = vals[: zkb.n_public + 1]
+    priv = mont.encode(zkb.fr, vals[zkb.n_public + 1 :])
+    proof = prove.prove(zkb, PlainPlonkDriver(zkb.fr, seed=3), publics, priv)
+    assert verify.verify(vk, proof, publics[1:])
+
+
+def test_plonk_poseidon_verify():
+    # no zkey shipped for this vector — verifier-side coverage only
+    base = "/root/reference/test_vectors/Plonk/bn254/poseidon"
+    from cosnarks_tpu.plonk import verify
+
+    vk = json.load(open(base + "/verification_key.json"))
+    assert verify.verify(vk, json.load(open(base + "/circom.proof")),
+                         json.load(open(base + "/public.json")))
+
+
+def test_plonk_shamir_prove_and_verify(zk, witness_vals):
+    import random
+
+    from cosnarks_tpu.ff import mont
+    from cosnarks_tpu.mpc import shamir
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.plonk import prove, verify
+    from cosnarks_tpu.plonk.drivers import ShamirPlonkDriver
+
+    fr = zk.fr
+    publics = witness_vals[: zk.n_public + 1]
+    priv_ints = witness_vals[zk.n_public + 1 :]
+    shares = shamir.share_values(fr, priv_ints, 3, 1, random.Random(5))
+
+    def party(k):
+        def go(net):
+            state = shamir.ShamirState.setup(
+                net, fr, t=1, pairs=64, seed=bytes([k + 9]) * 32)
+            drv = ShamirPlonkDriver(fr, net, state)
             return prove.prove(zk, drv, publics, shares[k])
 
         return go
