@@ -146,6 +146,9 @@ class PlainDriver:
         s = va + vb
         return [(s >> (n - 1 - i)) & 1 for i in range(n)], (s >> n) & 1
 
+    def mul_many(self, xs, ys):
+        return [self.mul(a, b) for a, b in zip(xs, ys)]
+
     def flush_asserts(self):
         pass
 

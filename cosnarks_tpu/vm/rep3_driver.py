@@ -136,6 +136,25 @@ class Rep3Driver:
             return self.pr.mul(a, b)
         return self.pr.mul_public(a if sa else b, (b if sa else a) % self.p)
 
+    def mul_many(self, xs, ys):
+        """Elementwise products; shared*shared pairs batch into ONE reshare
+        round (the gadget hot path: Poseidon2 S-boxes)."""
+        xs = [self._arith(x) for x in xs]
+        ys = [self._arith(y) for y in ys]
+        out: list = [None] * len(xs)
+        bx, by, bidx = [], [], []
+        for i, (a, b) in enumerate(zip(xs, ys)):
+            if isinstance(a, AShare) and isinstance(b, AShare):
+                bx.append(a)
+                by.append(b)
+                bidx.append(i)
+            else:
+                out[i] = self.mul(a, b)
+        if bidx:
+            for i, r in zip(bidx, self.pr.mul_many(bx, by)):
+                out[i] = r
+        return out
+
     def neg(self, a):
         a = self._arith(a)
         return self.pr.neg(a) if self.is_shared(a) else self._plain.neg(a)
