@@ -142,7 +142,10 @@ def _flatten_value(typ, val, p):
         return [int(bool(v))]
     if kind == "array":
         out = []
-        for item in val:
+        items = list(val)
+        n = typ.get("length", len(items))
+        items = items[:n] + [0] * max(0, n - len(items))
+        for item in items:
             out.extend(_flatten_value(typ["type"], item, p))
         return out
     if kind == "string":

@@ -20,12 +20,14 @@ class UnsolvableError(Exception):
 
 
 class CoSolver:
-    def __init__(self, fn, driver, p: int):
+    def __init__(self, fn, driver, p: int, brillig_fns: list | None = None):
         self.fn = fn
         self.d = driver
         self.p = p
         self.witness: dict[int, object] = {}
         self.memory: dict[int, list] = {}
+        self.brillig_fns = brillig_fns or []
+        self._brillig_vm = None
 
     def set_inputs(self, values: list):
         for i, v in enumerate(values):
@@ -99,6 +101,10 @@ class CoSolver:
             raise UnsolvableError(f"blackbox input w{val} unknown")
         return self.witness[val]
 
+    def _bb_recursiveaggregation(self, args):
+        """No-op at witness-extension time (blackbox_solver.rs:523) — the
+        recursion constraints act at proving time."""
+
     def _bb_range(self, args):
         value, num_bits = self._in(args[0]), int(args[1])
         if not self.d.is_shared(value):
@@ -126,6 +132,58 @@ class CoSolver:
         for w, v in zip(outs, res):
             self.witness[w] = self.d.norm(v)
 
+    # -- Grumpkin embedded-curve blackboxes (plain path; the shared variant
+    # routes through pointshare gadgets later) -------------------------------
+    def _grumpkin(self):
+        from ..ec import host
+        from ..ec.curves import GRUMPKIN
+
+        return host.host_curve(GRUMPKIN)
+
+    def _ec_point(self, hc, xs):
+        x, y, inf = (self._in(v) for v in xs)
+        if any(self.d.is_shared(v) for v in (x, y, inf)):
+            raise UnsolvableError("shared embedded-curve point")
+        if int(inf):
+            return None
+        return (hc._lift(int(x)), hc._lift(int(y)))
+
+    def _store_point(self, hc, pt, outs):
+        ox, oy, oinf = (int(w) for w in outs)
+        if pt is None:
+            self.witness[ox] = 0
+            self.witness[oy] = 0
+            self.witness[oinf] = 1
+        else:
+            x, y = hc._lower(pt)
+            self.witness[ox] = x
+            self.witness[oy] = y
+            self.witness[oinf] = 0
+
+    def _bb_embeddedcurveadd(self, args):
+        in1, in2, _pred, outs = args
+        hc = self._grumpkin()
+        p1 = self._ec_point(hc, in1)
+        p2 = self._ec_point(hc, in2)
+        self._store_point(hc, hc.add(p1, p2), outs)
+
+    def _bb_multiscalarmul(self, args):
+        points, scalars, _pred, outs = args
+        hc = self._grumpkin()
+        acc = None
+        for i in range(0, len(points), 3):
+            pt = self._ec_point(hc, points[i : i + 3])
+            lo = self._in(scalars[2 * (i // 3)])
+            hi = self._in(scalars[2 * (i // 3) + 1])
+            if self.d.is_shared(lo) or self.d.is_shared(hi):
+                raise UnsolvableError("shared MSM scalar")
+            k = int(lo) + (int(hi) << 128)
+            if pt is None or k == 0:
+                continue
+            term = hc.mul(pt, k)
+            acc = term if acc is None else hc.add(acc, term)
+        self._store_point(hc, acc, outs)
+
     # -- memory (public indices; memory_solver.rs) ----------------------------
     def _op_memory_init(self, payload):
         block_id, witnesses, _type = payload
@@ -141,18 +199,57 @@ class CoSolver:
             acc = d.add(acc, d.mul(c, self.witness[w]))
         return acc
 
+    def _ohv(self, idx, n: int):
+        """One-hot vector of length >= n from a shared index: bit-decompose
+        once, then log2(n) batched mul rounds (the reference's rep3_ring
+        ohv gadget, rep3_ring/gadgets/ohv.rs)."""
+        d = self.d
+        k = max(1, (n - 1).bit_length())
+        bits = d.num2bits(idx, k)  # LSB first, arithmetic bit shares
+        ohv = [1]
+        for b in reversed(bits):  # MSB first halves the index space
+            nb = d.sub(1, b)
+            both = d.mul_many(ohv + ohv, [nb] * len(ohv) + [b] * len(ohv))
+            left, right = both[: len(ohv)], both[len(ohv):]
+            ohv = [v for pair in zip(left, right) for v in pair]
+        return ohv  # length 2^k; tail beyond n unused
+
     def _op_memory_op(self, payload):
         block_id, operation, index, value = payload
+        d = self.d
         op = self._eval_expr(operation)
-        if self.d.is_shared(op):
+        if d.is_shared(op):
             raise UnsolvableError("shared memory operation flag")
         idx = self._eval_expr(index)
-        if self.d.is_shared(idx):
-            raise UnsolvableError(
-                "shared memory index (LUT gadget not wired yet)")
-        idx = int(idx)
         block = self.memory[block_id]
-        if int(op) == 0:  # read: value expr is a single unknown witness
+        is_read = int(op) == 0
+        if d.is_shared(idx):
+            # shared-index access through a one-hot vector (lut.rs:12-71)
+            ohv = self._ohv(idx, len(block))[: len(block)]
+            if is_read:
+                prods = d.mul_many(ohv, block)
+                acc = prods[0]
+                for v in prods[1:]:
+                    acc = d.add(acc, v)
+                if len(value.lin) == 1 and not value.mul and value.qc == 0:
+                    c, w = value.lin[0]
+                    if c != 1:
+                        raise UnsolvableError("scaled memory read")
+                    self.witness[w] = d.norm(acc)
+                    return
+                raise UnsolvableError("complex memory read expression")
+            new = self._eval_expr(value)
+            old_prods = d.mul_many(ohv, block)
+            old = old_prods[0]
+            for v in old_prods[1:]:
+                old = d.add(old, v)
+            delta = d.sub(new, old)
+            upd = d.mul_many(ohv, [delta] * len(block))
+            self.memory[block_id] = [d.add(b, u)
+                                     for b, u in zip(block, upd)]
+            return
+        idx = int(idx)
+        if is_read:  # value expr is a single unknown witness
             if len(value.lin) == 1 and not value.mul and value.qc == 0:
                 c, w = value.lin[0]
                 if c != 1:
@@ -163,7 +260,58 @@ class CoSolver:
         block[idx] = self._eval_expr(value)  # write
 
     def _op_brillig_call(self, payload):
-        raise UnsolvableError("BrilligCall (unconstrained fn) not wired yet")
+        """Run an unconstrained hint function (brillig_call_solver.rs):
+        evaluate calldata expressions, execute the Brillig VM, scatter the
+        return data into the output witnesses. A false predicate zeroes
+        the outputs without running."""
+        from .brillig import BrilligVM
+
+        fn_id, inputs, outputs, predicate = (
+            payload[0], payload[1], payload[2], payload[3])
+        d = self.d
+        mask = None  # shared predicate: cmux outputs with zero after
+        run = True
+        if predicate is not None:
+            pred = self._eval_expr(Expression.parse(predicate))
+            if d.is_shared(pred):
+                mask = pred  # brillig_call_solver.rs BrilligMask::Mask
+            else:
+                run = int(pred) != 0
+        out_wits = []
+        for o in outputs:
+            if isinstance(o, dict) and "Simple" in o:
+                out_wits.append(int(o["Simple"]))
+            elif isinstance(o, dict) and "Array" in o:
+                out_wits.extend(int(w) for w in o["Array"])
+            else:
+                raise UnsolvableError(f"unhandled brillig output {o!r}")
+        if not run:
+            for w in out_wits:
+                self.witness[w] = 0
+            return
+        calldata = []
+        for inp in inputs:
+            if isinstance(inp, dict) and "Single" in inp:
+                calldata.append(self._eval_expr(
+                    Expression.parse(inp["Single"])))
+            elif isinstance(inp, dict) and "Array" in inp:
+                calldata.extend(self._eval_expr(Expression.parse(e))
+                                for e in inp["Array"])
+            elif isinstance(inp, dict) and "MemoryArray" in inp:
+                calldata.extend(self.memory[int(inp["MemoryArray"])])
+            else:
+                raise UnsolvableError(f"unhandled brillig input {inp!r}")
+        if self._brillig_vm is None:
+            self._brillig_vm = BrilligVM(d, self.p, self.brillig_fns)
+        res = self._brillig_vm.run(int(fn_id), calldata)
+        if len(res) != len(out_wits):
+            raise UnsolvableError(
+                f"brillig returned {len(res)} values for {len(out_wits)} "
+                "outputs")
+        for w, v in zip(out_wits, res):
+            if mask is not None:
+                v = d.cmux(mask, v, 0)
+            self.witness[w] = d.norm(v)
 
     def _op_call(self, payload):
         raise UnsolvableError("acir Call not wired yet")
@@ -172,6 +320,6 @@ class CoSolver:
 def solve_program(artifact, driver, p: int, input_values: list):
     """Solve the main function; returns the witness dict."""
     fn = artifact.functions[0]
-    solver = CoSolver(fn, driver, p)
+    solver = CoSolver(fn, driver, p, brillig_fns=artifact.brillig)
     solver.set_inputs(input_values)
     return solver.solve()

@@ -14,23 +14,39 @@ from cosnarks_tpu.vm.interp import PlainDriver
 
 BASE = "/root/reference/test_vectors/noir"
 
-# programs solvable without Brillig (unconstrained hints) — the rest join
-# as co-Brillig lands
 PROGRAMS = [
     "add3u64",
     "addition_multiplication",
+    "approx_sigmoid",
     "assert",
     "blackbox_and",
     "blackbox_poseidon2",
     "blackbox_xor",
+    "get_bytes",
     "if_then",
     "negative",
     "poseidon",
     "poseidon2",
+    "poseidon_assert",
     "poseidon_input2",
     "poseidon_stdlib",
+    "quantized",
+    "random_access",
+    "recursion",
+    pytest.param("recursion_zk", marks=pytest.mark.xfail(
+        reason="shipped Prover.toml is stale vs its KAT witness stack "
+               "(raw input values differ)")),
     "slice",
+    "to_radix32",
+    "unconstrained_fn",
+    "unconstrained_fn_field",
+    "unconstrained_fn_not",
+    "write_access",
 ]
+
+# Grumpkin blackboxes solve plain-side only so far (shared EC pointshare
+# gadgets land with the coNoir proof stack)
+PLAIN_ONLY = ["embedded_curve_add", "pedersen_commitment", "pedersen_hash"]
 
 
 def _load(name):
@@ -41,7 +57,7 @@ def _load(name):
     return art, inputs, expected
 
 
-@pytest.mark.parametrize("name", PROGRAMS)
+@pytest.mark.parametrize("name", PROGRAMS + PLAIN_ONLY)
 def test_noir_plain(name):
     art, inputs, expected = _load(name)
     wit = solver.solve_program(art, PlainDriver(BN254_FR), BN254_FR.p,
