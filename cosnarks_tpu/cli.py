@@ -9,6 +9,13 @@ Run one party per process:
   python -m cosnarks_tpu generate-proof groth16 --zkey c.zkey \
       --witness witness.0.shared --config party0.toml --out proof.json
 or all parties in one process for local testing with --local-parties 3.
+
+Env layering: any long option of any subcommand can be defaulted by
+`COSNARKS_<OPTION>` (dashes -> underscores, uppercase; e.g.
+COSNARKS_PROTOCOL=REP3, COSNARKS_CONFIG=party0.toml). Explicit CLI args
+win over env; env wins over the built-in default (figment-style layering,
+reference co-circom.rs:495-524). COSNARKS_QUIET=1 silences the per-phase
+wall-time + byte-counter report.
 """
 
 from __future__ import annotations
@@ -18,6 +25,29 @@ import json
 import os
 import random
 import sys
+
+from .utils import timing
+from .utils.timing import phase
+
+
+class _EnvDefaultParser(argparse.ArgumentParser):
+    """Subcommand parser whose option defaults read COSNARKS_* env vars."""
+
+    def add_argument(self, *names, **kw):
+        for n in names:
+            if n.startswith("--"):
+                env = "COSNARKS_" + n[2:].replace("-", "_").upper()
+                if env in os.environ:
+                    raw = os.environ[env]
+                    typ = kw.get("type")
+                    if kw.get("nargs") in ("+", "*"):
+                        kw["default"] = raw.split(",")
+                        kw.pop("required", None)
+                    else:
+                        kw["default"] = typ(raw) if typ else raw
+                        kw.pop("required", None)
+                break
+        return super().add_argument(*names, **kw)
 
 
 def _net_from_config(path: str):
@@ -59,7 +89,8 @@ def cmd_split_witness(args):
     n_inst = zk.n_public + 1
     rng = random.SystemRandom()
     if args.protocol == "REP3":
-        files = shared.split_witness_rep3(zk.fr, wit, n_inst, rng)
+        files = shared.split_witness_rep3(zk.fr, wit, n_inst, rng,
+                                          seeded=args.seeded)
     else:
         files = shared.split_witness_shamir(
             zk.fr, wit, n_inst, args.num_parties, args.threshold, rng
@@ -131,9 +162,11 @@ def cmd_generate_witness(args):
         return _generate_witness_rep3(args, field)
     with open(args.input) as fh:
         inputs = json.load(fh)
-    wit, n_inst = generate_witness(
-        args.circuit, inputs, field, search_paths=args.link_library
-    )
+    with phase("Witness extension"):
+        wit, n_inst = generate_witness(
+            args.circuit, inputs, field, search_paths=args.link_library,
+            sym_path=args.sym,
+        )
     data = wtns.write_wtns(field, ints_to_limbs(wit, field.nlimbs))
     with open(args.out, "wb") as fh:
         fh.write(data)
@@ -177,8 +210,11 @@ def _generate_witness_rep3(args, field):
                 fh.write(shared_io.write_shared_witness(swf))
             print(f"wrote {out}")
     else:
-        net = _net_from_config(args.config)
-        swf = one_party(net, open(args.input).read())
+        with phase("Establish network"):
+            net = _net_from_config(args.config)
+        with phase("Witness extension"):
+            swf = one_party(net, open(args.input).read())
+        timing.report_net(net)
         with open(args.out, "wb") as fh:
             fh.write(shared_io.write_shared_witness(swf))
         print(f"wrote {args.out}")
@@ -206,7 +242,8 @@ def _plonk_prove_one_party(zk, swf, net):
 def _generate_proof_plonk(args):
     from .io import jsonio, shared, zkey
 
-    zk = zkey.load_plonk_zkey(args.zkey)
+    with phase("Parse zkey"):
+        zk = zkey.load_plonk_zkey(args.zkey)
     if args.local_parties:
         from .mpc.net.local import run_parties
 
@@ -214,15 +251,19 @@ def _generate_proof_plonk(args):
             shared.read_shared_witness(open(p, "rb").read())
             for p in args.witness
         ]
-        proofs = run_parties(
-            [lambda net, s=s: _plonk_prove_one_party(zk, s, net)
-             for s in swfs]
-        )
+        with phase("Generate proof"):
+            proofs = run_parties(
+                [lambda net, s=s: _plonk_prove_one_party(zk, s, net)
+                 for s in swfs]
+            )
         proof = proofs[0]
     else:
         swf = shared.read_shared_witness(open(args.witness[0], "rb").read())
-        net = _net_from_config(args.config)
-        proof = _plonk_prove_one_party(zk, swf, net)
+        with phase("Establish network"):
+            net = _net_from_config(args.config)
+        with phase("Generate proof"):
+            proof = _plonk_prove_one_party(zk, swf, net)
+        timing.report_net(net)
     with open(args.out, "w") as fh:
         json.dump(proof, fh, indent=1)
     if args.public_input:
@@ -238,7 +279,8 @@ def cmd_generate_proof(args):
 
     if args.proof_system == "plonk":
         return _generate_proof_plonk(args)
-    zk = zkey.load_groth16_zkey(args.zkey)
+    with phase("Parse zkey"):
+        zk = zkey.load_groth16_zkey(args.zkey)
 
     if args.local_parties:
         # all parties in-process over LocalNetwork (testing convenience)
@@ -248,14 +290,18 @@ def cmd_generate_proof(args):
             shared.read_shared_witness(open(p, "rb").read())
             for p in args.witness
         ]
-        proofs = run_parties(
-            [lambda net, s=s: _prove_one_party(zk, s, net) for s in swfs]
-        )
+        with phase("Generate proof"):
+            proofs = run_parties(
+                [lambda net, s=s: _prove_one_party(zk, s, net) for s in swfs]
+            )
         proof = proofs[0]
     else:
         swf = shared.read_shared_witness(open(args.witness[0], "rb").read())
-        net = _net_from_config(args.config)
-        proof = _prove_one_party(zk, swf, net)
+        with phase("Establish network"):
+            net = _net_from_config(args.config)
+        with phase("Generate proof"):
+            proof = _prove_one_party(zk, swf, net)
+        timing.report_net(net)
 
     curve = "bn128" if zk.fr.name == "bn254_fr" else "bls12381"
     with open(args.out, "w") as fh:
@@ -320,13 +366,19 @@ def main(argv=None):
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    timing.enable(os.environ.get("COSNARKS_QUIET", "0") != "1")
+
     ap = argparse.ArgumentParser(prog="cosnarks", description=__doc__)
-    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True,
+                            parser_class=_EnvDefaultParser)
 
     p = sub.add_parser("split-witness")
     p.add_argument("--witness", required=True)
     p.add_argument("--zkey", required=True)
     p.add_argument("--protocol", choices=["REP3", "SHAMIR"], default="REP3")
+    p.add_argument("--seeded", action="store_true",
+                   help="compressed shares: PRG seeds for 2 of 3 summands "
+                        "(CompressedRep3SharedWitness)")
     p.add_argument("--num-parties", type=int, default=3)
     p.add_argument("--threshold", type=int, default=1)
     p.add_argument("--out-dir", default=".")
@@ -349,6 +401,8 @@ def main(argv=None):
     p.add_argument("--link-library", nargs="*", default=[],
                    help="include search dirs (circomlib etc.)")
     p.add_argument("--curve", choices=["BN254", "BLS12-381"], default="BN254")
+    p.add_argument("--sym", help="circom .sym file: map witness onto the "
+                                 "simplified (-O1/-O2) wire order")
     p.add_argument("--protocol", choices=["PLAIN", "REP3"], default="PLAIN")
     p.add_argument("--config", help="network TOML (REP3 over TCP)")
     p.add_argument("--local-parties", type=int, default=0,

@@ -41,7 +41,14 @@ class SharedWitnessFile:
     share_b: jnp.ndarray | None  # rep3 only
 
 
-def write_shared_witness(f: SharedWitnessFile) -> bytes:
+def write_shared_witness(f: SharedWitnessFile, *, seed_a: bytes | None = None,
+                         seed_b: bytes | None = None,
+                         count: int | None = None) -> bytes:
+    """Serialize; a share half can be replaced by its 32-byte PRG seed
+    (CompressedRep3SharedWitness / SeededType, co-circom-types/src/
+    lib.rs:152 + mpc-core rep3.rs:138-150). Seeded halves shrink the file
+    to a constant regardless of witness size; `read_shared_witness`
+    re-expands them (the reference's uncompress step)."""
     field = f.field
     n8 = field.nlimbs * 2
     header = struct.pack(
@@ -51,13 +58,41 @@ def write_shared_witness(f: SharedWitnessFile) -> bytes:
     sections = [
         (1, header),
         (2, struct.pack("<I", len(f.public_inputs)) + pubs),
-        (3, limbs_to_le_bytes(np.asarray(mont.from_mont(field, f.share_a)))),
     ]
-    if f.share_b is not None:
+    if seed_a is not None:
+        sections.append((5, struct.pack("<I", count) + seed_a))
+    else:
+        sections.append(
+            (3, limbs_to_le_bytes(np.asarray(mont.from_mont(field, f.share_a))))
+        )
+    if seed_b is not None:
+        sections.append((6, struct.pack("<I", count) + seed_b))
+    elif f.share_b is not None:
         sections.append(
             (4, limbs_to_le_bytes(np.asarray(mont.from_mont(field, f.share_b))))
         )
-    return write_container(b"cosw", 1, sections)
+    version = 2 if (seed_a is not None or seed_b is not None) else 1
+    return write_container(b"cosw", version, sections)
+
+
+def expand_seed(field: Field, seed: bytes, count: int) -> jnp.ndarray:
+    """32-byte seed -> (count, nlimbs) Montgomery share limbs.
+
+    Each element is 2*field-size ChaCha20 keystream bits reduced mod p
+    (statistical distance < 2^-(bits) from uniform)."""
+    from ..mpc import chacha
+
+    kw = chacha.key_to_words(seed)
+    nonce = jnp.zeros((2,), jnp.uint32)
+    per = 2 * field.nlimbs
+    limbs = np.asarray(chacha.limbs16(kw, nonce, count * per))
+    raw = limbs.astype("<u2").tobytes()  # LE 16-bit limbs
+    stride = per * 2
+    vals = [
+        int.from_bytes(raw[i * stride : (i + 1) * stride], "little") % field.p
+        for i in range(count)
+    ]
+    return mont.encode(field, vals)
 
 
 def read_shared_witness(data: bytes) -> SharedWitnessFile:
@@ -75,30 +110,65 @@ def read_shared_witness(data: bytes) -> SharedWitnessFile:
     pubs = [
         limbs_to_int(r) for r in le_bytes_to_limbs(pub_sec[4:], n8)[:npub]
     ]
-    share_a = mont.to_mont(
-        field, jnp.asarray(le_bytes_to_limbs(c.section(3), n8))
-    )
-    share_b = None
-    if 4 in c.sections:
-        share_b = mont.to_mont(
-            field, jnp.asarray(le_bytes_to_limbs(c.section(4), n8))
-        )
+    def load_half(raw_sec: int, seed_sec: int):
+        if raw_sec in c.sections:
+            return mont.to_mont(
+                field, jnp.asarray(le_bytes_to_limbs(c.section(raw_sec), n8))
+            )
+        if seed_sec in c.sections:
+            body = c.section(seed_sec)
+            (count,) = struct.unpack_from("<I", body, 0)
+            return expand_seed(field, bytes(body[4:36]), count)
+        return None
+
+    share_a = load_half(3, 5)
+    share_b = load_half(4, 6)
     return SharedWitnessFile(
         protocol, party_id, n_parties, threshold, field, pubs, share_a, share_b
     )
 
 
 def split_witness_rep3(field: Field, witness: list[int], n_instance: int,
-                       rng) -> list[bytes]:
+                       rng, seeded: bool = False) -> list[bytes]:
     """Full wtns vector -> 3 rep3 .shared files (reference split_witness,
-    co-circom/src/lib.rs:46-80)."""
+    co-circom/src/lib.rs:46-80).
+
+    seeded=True emits compressed files: additive summands x0, x1 come from
+    32-byte ChaCha seeds, only x2 = w - x0 - x1 is stored raw. Party 1's
+    file is constant-size; parties 0/2 store one vector instead of two
+    (CompressedRep3SharedWitness, co-circom-types/src/lib.rs:152)."""
     pubs = witness[:n_instance]
-    shares = rep3.share_field_elements(field, witness[n_instance:], rng)
+    secret = witness[n_instance:]
+    if not seeded:
+        shares = rep3.share_field_elements(field, secret, rng)
+        return [
+            write_shared_witness(
+                SharedWitnessFile(PROTO_REP3, i, 3, 1, field, pubs, s.a, s.b)
+            )
+            for i, s in enumerate(shares)
+        ]
+    count = len(secret)
+    s0 = rng.randbytes(32)
+    s1 = rng.randbytes(32)
+    x0 = expand_seed(field, s0, count)
+    x1 = expand_seed(field, s1, count)
+    w = mont.encode(field, secret)
+    x2 = mont.sub(field, mont.sub(field, w, x0), x1)
+    # party i holds (a=x_i, b=x_{i+1})
+    mk = SharedWitnessFile
     return [
         write_shared_witness(
-            SharedWitnessFile(PROTO_REP3, i, 3, 1, field, pubs, s.a, s.b)
-        )
-        for i, s in enumerate(shares)
+            mk(PROTO_REP3, 0, 3, 1, field, pubs, x0, x1),
+            seed_a=s0, seed_b=s1, count=count,
+        ),
+        write_shared_witness(
+            mk(PROTO_REP3, 1, 3, 1, field, pubs, x1, x2),
+            seed_a=s1, count=count,
+        ),
+        write_shared_witness(
+            mk(PROTO_REP3, 2, 3, 1, field, pubs, x2, x0),
+            seed_b=s0, count=count,
+        ),
     ]
 
 

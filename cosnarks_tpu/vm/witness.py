@@ -117,10 +117,22 @@ def n_public(vm: interp.WitnessVM, main: Instance) -> int:
 
 
 def generate_witness(circuit_path: str, inputs: dict, field,
-                     search_paths=()) -> tuple[list[int], int]:
+                     search_paths=(), sym_path: str | None = None
+                     ) -> tuple[list[int], int]:
     """Full plain-driver witness extension: returns (witness vector,
-    n_instance). Mirrors co_circom::generate_witness (plain driver)."""
+    n_instance). Mirrors co_circom::generate_witness (plain driver).
+
+    sym_path: a circom `.sym` file for the matching -O1/-O2 artifact;
+    the O0 witness is reordered/filtered into the simplified wire order
+    so the output matches zkeys built with signal simplification."""
     prog = lang.load_program(circuit_path, search_paths=search_paths)
     vm = interp.WitnessVM(prog, field)
     main = vm.run(inputs)
-    return witness_vector(vm, main), n_public(vm, main)
+    wit = witness_vector(vm, main)
+    if sym_path is not None:
+        from ..io import sym
+
+        sym_map, n_wires = sym.load_sym(sym_path)
+        labels = witness_labels(vm, main)
+        wit = sym.map_witness(sym_map, n_wires, labels, wit)
+    return wit, n_public(vm, main)

@@ -18,7 +18,10 @@ import jax
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
 # var above — override it back so tests run on the virtual-8-device CPU.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache")
+# own cache dir: sharing one with concurrently-running TPU processes can
+# deadlock reads when another process is mid-write (seen as indefinite
+# hangs inside pjit cache_miss during full-suite runs)
+jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
