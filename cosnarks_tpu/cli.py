@@ -51,18 +51,9 @@ class _EnvDefaultParser(argparse.ArgumentParser):
 
 
 def _net_from_config(path: str):
-    import tomllib
+    from .mpc.net.config import NetworkConfig
 
-    from .mpc.net.tcp import TcpNetwork
-
-    with open(path, "rb") as fh:
-        cfg = tomllib.load(fh)
-    parties = sorted(cfg["parties"], key=lambda p: p["id"])
-    addrs = []
-    for p in parties:
-        host, port = p["dns_name"].rsplit(":", 1)
-        addrs.append((host, int(port)))
-    return TcpNetwork.connect(cfg["my_id"], addrs)
+    return NetworkConfig.from_toml(path).connect()
 
 
 def cmd_split_witness(args):

@@ -18,9 +18,11 @@ from .base import Network, from_wire, to_wire
 
 
 class TcpNetwork(Network):
-    def __init__(self, my_id: int, n_parties: int, socks: dict):
+    def __init__(self, my_id: int, n_parties: int, socks: dict,
+                 recv_timeout: float = 300.0):
         self.id = my_id
         self.n_parties = n_parties
+        self.recv_timeout = recv_timeout
         self._socks = socks  # peer id -> socket
         self._inbox = {p: queue.Queue() for p in socks}
         self._lock = {p: threading.Lock() for p in socks}
@@ -34,46 +36,11 @@ class TcpNetwork(Network):
     # -- connection establishment ------------------------------------------
     @classmethod
     def connect(cls, my_id: int, addrs: list[tuple[str, int]],
-                timeout: float = 30.0) -> "TcpNetwork":
-        """addrs[i] = (host, port) for party i; party i listens on addrs[i]
-        and dials every lower-id party (so the mesh forms without races)."""
-        n = len(addrs)
-        socks: dict[int, socket.socket] = {}
-        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        srv.bind(("0.0.0.0", addrs[my_id][1]))
-        srv.listen(n)
-        srv.settimeout(timeout)
-
-        def accept_all():
-            for _ in range(n - 1 - my_id):
-                conn, _ = srv.accept()
-                peer = struct.unpack("<I", _recv_exact(conn, 4))[0]
-                _setup_sock(conn)
-                socks[peer] = conn
-
-        acceptor = threading.Thread(target=accept_all, daemon=True)
-        acceptor.start()
-
-        deadline = time.time() + timeout
-        for p in range(my_id):
-            host, port = addrs[p]
-            while True:
-                try:
-                    c = socket.create_connection((host, port), timeout=2.0)
-                    break
-                except OSError:
-                    if time.time() > deadline:
-                        raise TimeoutError(f"cannot reach party {p}")
-                    time.sleep(0.1)
-            c.sendall(struct.pack("<I", my_id))
-            _setup_sock(c)
-            socks[p] = c
-        acceptor.join(timeout)
-        if len(socks) != n - 1:
-            raise TimeoutError("mesh incomplete")
-        srv.close()
-        return cls(my_id, n, socks)
+                timeout: float = 30.0, recv_timeout: float = 300.0,
+                server_wrap=None, client_wrap=None) -> "TcpNetwork":
+        socks = form_mesh(my_id, addrs, timeout,
+                          server_wrap=server_wrap, client_wrap=client_wrap)
+        return cls(my_id, len(addrs), socks, recv_timeout=recv_timeout)
 
     # -- transport ----------------------------------------------------------
     def _reader(self, peer: int, sock: socket.socket):
@@ -94,7 +61,7 @@ class TcpNetwork(Network):
             self._socks[to].sendall(struct.pack("<I", len(data)) + data)
 
     def recv(self, frm: int):
-        msg = self._inbox[frm].get(timeout=300.0)
+        msg = self._inbox[frm].get(timeout=self.recv_timeout)
         if isinstance(msg, _Closed):
             raise ConnectionError(f"peer {frm} closed connection")
         return msg
@@ -110,6 +77,68 @@ class TcpNetwork(Network):
 
 class _Closed:
     pass
+
+
+def form_mesh(my_id: int, addrs: list[tuple[str, int]], timeout: float = 30.0,
+              server_wrap=None, client_wrap=None) -> dict:
+    """Establish the full mesh: party i listens on addrs[i] and dials every
+    lower-id party (so the mesh forms without races). Returns {peer: sock}.
+
+    `server_wrap(sock)` / `client_wrap(sock, peer_id)` hooks let the TLS
+    backend wrap each connection (handshake) before the party-id exchange;
+    the id is then exchanged over the wrapped (authenticated) channel and
+    `server_wrap`'s result may carry a `verify_peer(peer_id)` callable that
+    checks the presented certificate belongs to the claimed id."""
+    n = len(addrs)
+    socks: dict[int, socket.socket] = {}
+    err: list[BaseException] = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("0.0.0.0", addrs[my_id][1]))
+    srv.listen(n)
+    srv.settimeout(timeout)
+
+    def accept_all():
+        try:
+            for _ in range(n - 1 - my_id):
+                conn, _ = srv.accept()
+                verify = None
+                if server_wrap is not None:
+                    conn, verify = server_wrap(conn)
+                peer = struct.unpack("<I", _recv_exact(conn, 4))[0]
+                if verify is not None:
+                    verify(peer)
+                _setup_sock(conn)
+                socks[peer] = conn
+        except BaseException as e:  # surfaced after join
+            err.append(e)
+
+    acceptor = threading.Thread(target=accept_all, daemon=True)
+    acceptor.start()
+
+    deadline = time.time() + timeout
+    for p in range(my_id):
+        host, port = addrs[p]
+        while True:
+            try:
+                c = socket.create_connection((host, port), timeout=2.0)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"cannot reach party {p}")
+                time.sleep(0.1)
+        if client_wrap is not None:
+            c = client_wrap(c, p)
+        c.sendall(struct.pack("<I", my_id))
+        _setup_sock(c)
+        socks[p] = c
+    acceptor.join(timeout)
+    if err:
+        raise err[0]
+    if len(socks) != n - 1:
+        raise TimeoutError("mesh incomplete")
+    srv.close()
+    return socks
 
 
 def _setup_sock(s: socket.socket):

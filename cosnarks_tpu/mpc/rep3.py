@@ -251,3 +251,19 @@ def point_scalar_mul_local(spec, pt: PointShare, scalar: Share, state):
     t2 = ec.scalar_mul(spec, pt.a, sb_std)
     mask = zero_point_mask(spec, state, scalar.a.shape[:-1])
     return ec.add(spec, ec.add(spec, t1, t2), mask)
+
+
+def eval_poly(field: Field, coeffs: list, point_mont) -> Share:
+    """Evaluate a secret-shared polynomial (list of coefficient shares,
+    constant term first) at a PUBLIC point via Horner — local only, both
+    replicated halves in one pass (rep3/poly.rs:28-44)."""
+    acc = None
+    for c in reversed(coeffs):
+        if acc is None:
+            acc = c
+        else:
+            acc = add(field, mul_public(field, acc, point_mont), c)
+    if acc is None:
+        z = mont.encode(field, [0])[0]
+        return Share(z, z)
+    return acc

@@ -375,3 +375,18 @@ def degree_reduce_point(spec, pt, net, state: ShamirState):
         fresh = jax.tree.map(jnp.asarray, net.recv(KING))
     mask_t = _scalar_points(spec, gen, r_t[0])
     return ec.add(spec, fresh, ec.neg(spec, mask_t))
+
+
+def eval_poly(field: Field, coeffs: list, point_mont):
+    """Evaluate a secret-shared polynomial at a PUBLIC point via Horner —
+    local only (Shamir shares are field elements; mirror of
+    shamir/poly evaluation in the reference's mpc-core)."""
+    acc = None
+    for c in reversed(coeffs):
+        if acc is None:
+            acc = c
+        else:
+            acc = mont.add(field, mont.mul(field, acc, point_mont), c)
+    if acc is None:
+        return mont.encode(field, [0])[0]
+    return acc
