@@ -1,0 +1,218 @@
+"""co-noir CLI — the coNoir half of the pipeline (reference
+co-noir/src/bin/co-noir.rs:773-803). Implemented subcommands cover the
+witness side of the product: split-input, split-witness,
+merge-input-shares, generate-witness (plain / REP3 over a network
+config), circuit-info. Proving-key / proof / vk
+subcommands land with the UltraHonk stack.
+
+Share artifacts are versioned JSON (`cosnarks-noir-shared-*`): witness
+entries map ACIR witness index -> [a, b] replicated share ints. The
+reference uses bincode containers; JSON keeps the artifacts inspectable
+and the framing code already exists in the std library.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import secrets
+import sys
+import tomllib
+
+from ..ff.spec import BN254_FR
+from ..utils.timing import phase, report_net
+from . import acir, solver
+
+_FMT_INPUT = "cosnarks-noir-shared-input"
+_FMT_WITNESS = "cosnarks-noir-shared-witness"
+
+
+def _share3(v: int, p: int) -> list[tuple[int, int]]:
+    """Replicated shares [(a_i, a_{i+1})] of v (party i holds (x_i, x_{i+1}))."""
+    x0, x1 = secrets.randbelow(p), secrets.randbelow(p)
+    x2 = (v - x0 - x1) % p
+    xs = [x0, x1, x2]
+    return [(xs[i], xs[(i + 1) % 3]) for i in range(3)]
+
+
+def _write_share_file(path: str, fmt: str, party: int, entries):
+    with open(path, "w") as fh:
+        json.dump(
+            {"format": fmt, "version": 1, "protocol": "REP3",
+             "party": party, "entries": entries}, fh)
+
+
+def _read_share_file(path: str, fmt: str):
+    data = json.load(open(path))
+    if data.get("format") != fmt or data.get("version") != 1:
+        raise ValueError(f"{path}: not a {fmt} v1 file")
+    return data
+
+
+def cmd_split_input(args):
+    p = BN254_FR.p
+    art = acir.load_artifact(args.circuit)
+    prover = tomllib.load(open(args.input, "rb"))
+    values = acir.encode_inputs(art.abi, prover, p)
+    per_party = [[] for _ in range(3)]
+    for v in values:
+        for k, sh in enumerate(_share3(v, p)):
+            per_party[k].append(sh)
+    base = os.path.basename(args.input)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for k in range(3):
+        out = os.path.join(args.out_dir, f"{base}.{k}.shared")
+        _write_share_file(out, _FMT_INPUT, k, per_party[k])
+        print(f"wrote {out}")
+
+
+def cmd_split_witness(args):
+    p = BN254_FR.p
+    wit = acir.load_witness_stack(args.witness)
+    per_party = [dict() for _ in range(3)]
+    for idx, v in wit.items():
+        for k, sh in enumerate(_share3(v, p)):
+            per_party[k][str(idx)] = sh
+    base = os.path.basename(args.witness)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for k in range(3):
+        out = os.path.join(args.out_dir, f"{base}.{k}.shared")
+        _write_share_file(out, _FMT_WITNESS, k, per_party[k])
+        print(f"wrote {out}")
+
+
+def cmd_merge_input_shares(args):
+    """Merge per-provider input shares (each provider shares a disjoint
+    subset of the ABI inputs; co-noir.rs MergeInputShares)."""
+    merged = None
+    party = None
+    for path in args.inputs:
+        data = _read_share_file(path, _FMT_INPUT)
+        if party is None:
+            party = data["party"]
+            merged = [None] * len(data["entries"])
+        if data["party"] != party:
+            raise ValueError("input shares stem from different party ids")
+        for i, sh in enumerate(data["entries"]):
+            if sh is not None:
+                if merged[i] is not None and merged[i] != sh:
+                    raise ValueError(f"conflicting shares for input {i}")
+                merged[i] = sh
+    if any(m is None for m in merged):
+        raise ValueError("merged inputs leave holes")
+    _write_share_file(args.out, _FMT_INPUT, party, merged)
+    print(f"wrote {args.out}")
+
+
+def _solve_rep3(art, net, entries):
+    from ..mpc.rep3_scalar import AShare, HostRng, Rep3Scalar
+    from ..vm.rep3_driver import Rep3Driver
+
+    # correlated PRF keys: party i draws key_mine, sends it to the PREVIOUS
+    # party (whose key_next it becomes) — one round (rep3.rs:71-110)
+    seed_mine = secrets.token_bytes(32)
+    key_next = net.reshare_backward(seed_mine)
+    proto = Rep3Scalar(net, HostRng(seed_mine, key_next), BN254_FR.p)
+    drv = Rep3Driver(proto, BN254_FR)
+    inputs = [AShare(a, b) for a, b in entries]
+    wit = solver.solve_program(art, drv, BN254_FR.p, inputs)
+    return proto, drv, wit
+
+
+def cmd_generate_witness(args):
+    art = acir.load_artifact(args.circuit)
+    p = BN254_FR.p
+    if args.protocol == "PLAIN":
+        from ..vm.interp import PlainDriver
+
+        prover = tomllib.load(open(args.input, "rb"))
+        values = acir.encode_inputs(art.abi, prover, p)
+        with phase("Witness extension"):
+            wit = solver.solve_program(art, PlainDriver(BN254_FR), p, values)
+        with open(args.out, "w") as fh:
+            json.dump({k: str(int(v)) for k, v in sorted(wit.items())}, fh)
+        print(f"wrote {args.out}")
+        return
+    # REP3 over the wire
+    from ..mpc.net.config import NetworkConfig
+
+    data = _read_share_file(args.input, _FMT_INPUT)
+    with phase("Establish network"):
+        net = NetworkConfig.from_toml(args.config).connect()
+    try:
+        with phase("Witness extension"):
+            proto, drv, wit = _solve_rep3(art, net, data["entries"])
+        entries = {}
+        for k, v in wit.items():
+            sh = drv.to_share(v)
+            entries[str(k)] = [int(sh.a), int(sh.b)]
+        _write_share_file(args.out, _FMT_WITNESS, net.id, entries)
+        print(f"wrote {args.out}")
+        report_net(net)
+    finally:
+        net.close()
+
+
+def cmd_circuit_info(args):
+    art = acir.load_artifact(args.circuit)
+    fn = art.functions[0]
+    kinds = {}
+    for op in fn.opcodes:
+        kind = op[0] if isinstance(op, tuple) else type(op).__name__
+        kinds[kind] = kinds.get(kind, 0) + 1
+    print(json.dumps({
+        "noir_version": art.noir_version,
+        "opcodes": len(fn.opcodes),
+        "opcode_kinds": kinds,
+        "current_witness_index": fn.current_witness,
+        "private_parameters": sorted(getattr(fn, "private_parameters", []) or []),
+        "public_parameters": sorted(getattr(fn, "public_parameters", []) or []),
+        "return_values": sorted(getattr(fn, "return_values", []) or []),
+    }, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="co-noir",
+        description="coNoir pipeline (witness side; UltraHonk proving "
+                    "subcommands land with the proof stack)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("split-input")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--protocol", default="REP3", choices=["REP3"])
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_split_input)
+
+    p = sub.add_parser("split-witness")
+    p.add_argument("--witness", required=True, help="nargo witness stack (.gz)")
+    p.add_argument("--protocol", default="REP3", choices=["REP3"])
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_split_witness)
+
+    p = sub.add_parser("merge-input-shares")
+    p.add_argument("--inputs", nargs="+", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_merge_input_shares)
+
+    p = sub.add_parser("generate-witness")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--input", required=True,
+                   help="Prover.toml (PLAIN) or input share file (REP3)")
+    p.add_argument("--protocol", default="REP3", choices=["PLAIN", "REP3"])
+    p.add_argument("--config", help="network TOML (REP3)")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_generate_witness)
+
+    p = sub.add_parser("circuit-info")
+    p.add_argument("--circuit", required=True)
+    p.set_defaults(fn=cmd_circuit_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,3 +104,34 @@ def test_rep3_prove_verifies_bls12_381(rng):
     proofs = run_parties([party] * 3)
     assert proofs[0] == proofs[1] == proofs[2]
     assert verify(vk, proofs[0], pub)
+
+
+POSEIDON_BASE = "/root/reference/test_vectors/Groth16/bn254/poseidon/"
+
+
+def test_rep3_poseidon_prove_verifies(rng):
+    """Beyond-toy scale: the poseidon vector (domain 256, 215 wires) proven
+    3-party Rep3 and checked against the shipped snarkjs verification key
+    (mirrors the reference e2e matrix entry for poseidon,
+    tests/tests/circom/e2e_tests/rep3.rs)."""
+    zk = zkey.load_groth16_zkey(POSEIDON_BASE + "circuit.zkey")
+    _, w = wtns.load_wtns(POSEIDON_BASE + "witness.wtns")
+    wit = [limbs_to_int(x) for x in w]
+    vk = jsonio.vkey_from_json(
+        open(POSEIDON_BASE + "verification_key.json").read())
+    pub = jsonio.public_from_json(open(POSEIDON_BASE + "public.json").read())
+    n_inst = zk.n_public + 1
+    assert wit[1:n_inst] == pub
+    shares = rep3.share_field_elements(zk.fr, wit[n_inst:], rng)
+
+    def party(net):
+        st = rep3.Rep3State.setup(net, bytes([net.id + 77]) * 8)
+        driver = drivers.Rep3Driver(net, st)
+        witness = prove.SharedWitness(
+            public_inputs=wit[:n_inst], witness=shares[net.id]
+        )
+        return prove.prove(driver, zk, witness)
+
+    proofs = run_parties([party] * 3)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_bn254(vk, proofs[0], pub), "rep3 poseidon proof must verify"

@@ -104,3 +104,63 @@ def test_noir_rep3(name):
                     shs.append(promote_trivial(x, i, BN254_FR.p))
             got = Rep3Scalar.combine(shs, BN254_FR.p)
         assert got == v, f"witness {k}: {got} != {v}"
+
+
+def test_conoir_cli_pipeline(tmp_path):
+    """co-noir CLI: split-input -> 3-party generate-witness over TCP ->
+    recombine and compare vs the nargo witness stack (co-noir.rs pipeline
+    in miniature, program `poseidon`)."""
+    import json
+    import threading
+
+    from cosnarks_tpu.noir import cli as ncli
+
+    name = "poseidon"
+    circuit = f"{BASE}/{name}/kat/{name}.json"
+    expected = acir.load_witness_stack(f"{BASE}/{name}/kat/{name}.gz")
+
+    ncli.main(["split-input", "--circuit", circuit,
+               "--input", f"{BASE}/{name}/Prover.toml",
+               "--out-dir", str(tmp_path)])
+    base = "Prover.toml"
+    for k in range(3):
+        assert (tmp_path / f"{base}.{k}.shared").exists()
+
+    # 3 localhost parties, one thread each
+    ports = [18750, 18751, 18752]
+    for k in range(3):
+        lines = [f"my_id = {k}"]
+        for j in range(3):
+            lines += ["", "[[parties]]", f"id = {j}",
+                      f'dns_name = "127.0.0.1:{ports[j]}"']
+        (tmp_path / f"party{k}.toml").write_text("\n".join(lines))
+
+    errs = []
+
+    def party(k):
+        try:
+            ncli.main([
+                "generate-witness", "--circuit", circuit,
+                "--input", str(tmp_path / f"{base}.{k}.shared"),
+                "--protocol", "REP3",
+                "--config", str(tmp_path / f"party{k}.toml"),
+                "--out", str(tmp_path / f"witness.{k}.shared")])
+        except Exception as e:
+            errs.append((k, e))
+
+    ts = [threading.Thread(target=party, args=(k,)) for k in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(120)
+    assert not errs, errs
+
+    parts = [json.load(open(tmp_path / f"witness.{k}.shared"))["entries"]
+             for k in range(3)]
+    p = BN254_FR.p
+    for k_idx, v in expected.items():
+        key = str(k_idx)
+        a0 = parts[0][key][0]
+        a1 = parts[1][key][0]
+        a2 = parts[2][key][0]
+        assert (a0 + a1 + a2) % p == v, f"witness {k_idx} mismatch"
