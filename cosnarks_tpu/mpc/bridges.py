@@ -38,8 +38,6 @@ def translate_rep3_point_to_shamir(spec, rep3_point, net,
     point degree-reduction round."""
     if state.n != 3 or state.t != 1:
         raise ValueError("rep3->shamir bridge requires n=3, t=1")
-    from ..ec import curve as ec
-
     import numpy as np
 
     from ..ec import curve as ec

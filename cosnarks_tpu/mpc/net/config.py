@@ -1,8 +1,8 @@
 """Network configuration (TOML) — parity with the reference NetworkConfig
 (mpc-net/src/config.rs:93-176): party list (id, dns_name, cert_path),
-own key/cert, connect + receive timeouts, max frame length. TLS is used
-iff `key_path` is set; otherwise plaintext TCP (test/trusted-network mode,
-which the reference does not offer — documented deviation for local runs).
+own key/cert, connect + receive timeouts, max frame length. TLS is the
+default transport; plaintext TCP (test/trusted-network mode, which the
+reference does not offer) requires `insecure_plaintext = true`.
 
 ```toml
 my_id = 0
@@ -48,6 +48,7 @@ class NetworkConfig:
     timeout: float = 30.0
     recv_timeout: float = 300.0
     max_frame_length: int = wire.MAX_FRAME_LENGTH
+    insecure_plaintext: bool = False
 
     @classmethod
     def from_toml(cls, path: str) -> "NetworkConfig":
@@ -69,11 +70,15 @@ class NetworkConfig:
             recv_timeout=float(cfg.get("recv_timeout", 300.0)),
             max_frame_length=int(
                 cfg.get("max_frame_length", wire.MAX_FRAME_LENGTH)),
+            insecure_plaintext=bool(cfg.get("insecure_plaintext", False)),
         )
 
     def connect(self):
-        """Establish the party mesh per this config (TLS iff key_path)."""
-        wire.MAX_FRAME_LENGTH = self.max_frame_length
+        """Establish the party mesh per this config. TLS is the default
+        (the reference never offers plaintext); running without key_path
+        requires an explicit `insecure_plaintext = true` so a typoed key
+        field cannot silently downgrade the mesh. The frame cap is carried
+        on the returned network, not a process-wide global."""
         addrs = [p.addr for p in self.parties]
         if self.key_path is not None:
             from .tls import TlsNetwork
@@ -91,8 +96,20 @@ class NetworkConfig:
             return TlsNetwork.connect_tls(
                 self.my_id, addrs, self.key_path, self.cert_path,
                 peer_certs, timeout=self.timeout,
-                recv_timeout=self.recv_timeout)
+                recv_timeout=self.recv_timeout,
+                max_frame_length=self.max_frame_length)
+        if self.cert_path is not None or any(
+                p.cert_path for p in self.parties):
+            raise ValueError(
+                "cert paths configured without key_path — refusing to "
+                "fall back to plaintext (set key_path, or set "
+                "insecure_plaintext = true to force TCP)")
+        if not self.insecure_plaintext:
+            raise ValueError(
+                "no TLS key configured; plaintext TCP requires explicit "
+                "insecure_plaintext = true")
         from .tcp import TcpNetwork
 
         return TcpNetwork.connect(self.my_id, addrs, timeout=self.timeout,
-                                  recv_timeout=self.recv_timeout)
+                                  recv_timeout=self.recv_timeout,
+                                  max_frame_length=self.max_frame_length)

@@ -4,6 +4,13 @@ Counterpart of the reference's TCP backend (mpc-net/src/tcp.rs:22-80 +
 blocking.rs): length-prefixed frames, a background reader thread per peer
 feeding per-sender queues (preserves the per-peer ordering contract of
 `Network`), keepalive, connect retry with deadline.
+
+The mesh can open `n_conns` independent connections per peer pair
+(reference `TcpNetwork::networks::<N>`, mpc-net/src/tcp.rs:43): channel 0
+is the default bidirectional stream; extra channels back concurrent
+protocol rounds, and the TLS backend uses a 2-channel *unidirectional*
+split (one connection only ever written, the other only ever read) since
+`ssl.SSLSocket` is not safe for concurrent full-duplex use.
 """
 
 from __future__ import annotations
@@ -14,54 +21,88 @@ import struct
 import threading
 import time
 
-from .base import Network, from_wire, to_wire
+from . import wire
+from .base import Network
 
 
 class TcpNetwork(Network):
     def __init__(self, my_id: int, n_parties: int, socks: dict,
-                 recv_timeout: float = 300.0):
+                 recv_timeout: float = 300.0,
+                 max_frame_length: int = wire.MAX_FRAME_LENGTH,
+                 duplex_split: bool = False):
+        """`socks` maps (peer_id, chan) -> socket. With `duplex_split`,
+        chan 0 carries dialer->acceptor traffic and chan 1 the reverse, so
+        each socket is used in one direction only."""
+        if socks and not isinstance(next(iter(socks)), tuple):
+            socks = {(p, 0): s for p, s in socks.items()}
         self.id = my_id
         self.n_parties = n_parties
         self.recv_timeout = recv_timeout
-        self._socks = socks  # peer id -> socket
-        self._inbox = {p: queue.Queue() for p in socks}
-        self._lock = {p: threading.Lock() for p in socks}
+        self.max_frame_length = max_frame_length
+        self.duplex_split = duplex_split
+        self._socks = socks
+        self._inbox = {}
+        self._lock = {k: threading.Lock() for k in socks}
         self._alive = True
         self._readers = []
-        for p, s in socks.items():
-            t = threading.Thread(target=self._reader, args=(p, s), daemon=True)
+        for (p, c), s in socks.items():
+            if duplex_split and c == self._send_chan(p):
+                continue  # write-only socket: no reader thread
+            self._inbox[(p, self._logical_chan(p, c))] = q = queue.Queue()
+            t = threading.Thread(target=self._reader, args=(p, c, s, q),
+                                 daemon=True)
             t.start()
             self._readers.append(t)
+
+    def _send_chan(self, peer: int) -> int:
+        """Physical channel this party writes on toward `peer` when the
+        duplex split is active: chan 0 belongs to the dialer (higher id)."""
+        return 0 if self.id > peer else 1
+
+    def _logical_chan(self, peer: int, phys: int) -> int:
+        """Under duplex_split both physical channels form one logical
+        channel 0; otherwise channels are independent."""
+        return 0 if self.duplex_split else phys
 
     # -- connection establishment ------------------------------------------
     @classmethod
     def connect(cls, my_id: int, addrs: list[tuple[str, int]],
                 timeout: float = 30.0, recv_timeout: float = 300.0,
+                max_frame_length: int = wire.MAX_FRAME_LENGTH,
+                n_conns: int = 1,
                 server_wrap=None, client_wrap=None) -> "TcpNetwork":
-        socks = form_mesh(my_id, addrs, timeout,
+        socks = form_mesh(my_id, addrs, timeout, n_conns=n_conns,
                           server_wrap=server_wrap, client_wrap=client_wrap)
-        return cls(my_id, len(addrs), socks, recv_timeout=recv_timeout)
+        return cls(my_id, len(addrs), socks, recv_timeout=recv_timeout,
+                   max_frame_length=max_frame_length)
 
     # -- transport ----------------------------------------------------------
-    def _reader(self, peer: int, sock: socket.socket):
+    def _reader(self, peer: int, chan: int, sock: socket.socket,
+                inbox: queue.Queue):
         try:
             while self._alive:
                 hdr = _recv_exact(sock, 4)
                 (ln,) = struct.unpack("<I", hdr)
+                if ln > self.max_frame_length:
+                    raise wire.WireError(
+                        f"incoming frame of {ln} bytes exceeds "
+                        f"max_frame_length={self.max_frame_length}")
                 data = _recv_exact(sock, ln)
                 self._count(peer, ln, sent=False)
-                self._inbox[peer].put(from_wire(data))
-        except (OSError, ConnectionError):
-            self._inbox[peer].put(_Closed())
+                inbox.put(wire.decode(data, self.max_frame_length))
+        except (OSError, ConnectionError, wire.WireError):
+            inbox.put(_Closed())
 
-    def send(self, to: int, msg) -> None:
-        data = to_wire(msg)
+    def send(self, to: int, msg, chan: int = 0) -> None:
+        data = wire.encode(msg, self.max_frame_length)
         self._count(to, len(data), sent=True)
-        with self._lock[to]:
-            self._socks[to].sendall(struct.pack("<I", len(data)) + data)
+        key = (to, self._send_chan(to) if self.duplex_split else chan)
+        with self._lock[key]:
+            self._socks[key].sendall(struct.pack("<I", len(data)) + data)
 
-    def recv(self, frm: int):
-        msg = self._inbox[frm].get(timeout=self.recv_timeout)
+    def recv(self, frm: int, chan: int = 0):
+        msg = self._inbox[(frm, 0 if self.duplex_split else chan)].get(
+            timeout=self.recv_timeout)
         if isinstance(msg, _Closed):
             raise ConnectionError(f"peer {frm} closed connection")
         return msg
@@ -80,36 +121,38 @@ class _Closed:
 
 
 def form_mesh(my_id: int, addrs: list[tuple[str, int]], timeout: float = 30.0,
-              server_wrap=None, client_wrap=None) -> dict:
+              n_conns: int = 1, server_wrap=None, client_wrap=None) -> dict:
     """Establish the full mesh: party i listens on addrs[i] and dials every
-    lower-id party (so the mesh forms without races). Returns {peer: sock}.
+    lower-id party (so the mesh forms without races), opening `n_conns`
+    connections per pair. Returns {(peer, chan): sock}.
 
     `server_wrap(sock)` / `client_wrap(sock, peer_id)` hooks let the TLS
     backend wrap each connection (handshake) before the party-id exchange;
-    the id is then exchanged over the wrapped (authenticated) channel and
-    `server_wrap`'s result may carry a `verify_peer(peer_id)` callable that
-    checks the presented certificate belongs to the claimed id."""
+    the (id, chan) pair is then exchanged over the wrapped (authenticated)
+    channel and `server_wrap`'s result may carry a `verify_peer(peer_id)`
+    callable that checks the presented certificate belongs to the claimed
+    id."""
     n = len(addrs)
-    socks: dict[int, socket.socket] = {}
+    socks: dict[tuple[int, int], socket.socket] = {}
     err: list[BaseException] = []
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind(("0.0.0.0", addrs[my_id][1]))
-    srv.listen(n)
+    srv.listen(n * n_conns)
     srv.settimeout(timeout)
 
     def accept_all():
         try:
-            for _ in range(n - 1 - my_id):
+            for _ in range((n - 1 - my_id) * n_conns):
                 conn, _ = srv.accept()
                 verify = None
                 if server_wrap is not None:
                     conn, verify = server_wrap(conn)
-                peer = struct.unpack("<I", _recv_exact(conn, 4))[0]
+                peer, chan = struct.unpack("<II", _recv_exact(conn, 8))
                 if verify is not None:
                     verify(peer)
                 _setup_sock(conn)
-                socks[peer] = conn
+                socks[(peer, chan)] = conn
         except BaseException as e:  # surfaced after join
             err.append(e)
 
@@ -119,23 +162,24 @@ def form_mesh(my_id: int, addrs: list[tuple[str, int]], timeout: float = 30.0,
     deadline = time.time() + timeout
     for p in range(my_id):
         host, port = addrs[p]
-        while True:
-            try:
-                c = socket.create_connection((host, port), timeout=2.0)
-                break
-            except OSError:
-                if time.time() > deadline:
-                    raise TimeoutError(f"cannot reach party {p}")
-                time.sleep(0.1)
-        if client_wrap is not None:
-            c = client_wrap(c, p)
-        c.sendall(struct.pack("<I", my_id))
-        _setup_sock(c)
-        socks[p] = c
+        for chan in range(n_conns):
+            while True:
+                try:
+                    c = socket.create_connection((host, port), timeout=2.0)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"cannot reach party {p}")
+                    time.sleep(0.1)
+            if client_wrap is not None:
+                c = client_wrap(c, p)
+            c.sendall(struct.pack("<II", my_id, chan))
+            _setup_sock(c)
+            socks[(p, chan)] = c
     acceptor.join(timeout)
     if err:
         raise err[0]
-    if len(socks) != n - 1:
+    if len(socks) != (n - 1) * n_conns:
         raise TimeoutError("mesh incomplete")
     srv.close()
     return socks

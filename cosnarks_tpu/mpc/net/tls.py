@@ -37,14 +37,21 @@ def _base_context(purpose, key_path: str, cert_path: str,
 
 
 class TlsNetwork(TcpNetwork):
-    """TcpNetwork with every link TLS-wrapped and peer-id authenticated."""
+    """TcpNetwork with every link TLS-wrapped and peer-id authenticated.
+
+    Each peer pair gets TWO TLS connections used unidirectionally (one
+    only written, one only read): `ssl.SSLSocket` is not thread-safe for
+    concurrent read/write on one connection (a TLS 1.3 key update during
+    full-duplex traffic can corrupt either stream), so the background
+    reader thread and senders never touch the same socket."""
 
     @classmethod
     def connect_tls(cls, my_id: int, addrs: list[tuple[str, int]],
                     key_path: str, cert_path: str,
                     peer_certs: dict[int, str],
                     timeout: float = 30.0,
-                    recv_timeout: float = 300.0) -> "TlsNetwork":
+                    recv_timeout: float = 300.0,
+                    max_frame_length: int | None = None) -> "TlsNetwork":
         """peer_certs[i] = PEM path of party i's certificate (may include
         my_id's own; it is ignored for verification of self)."""
         trusted = [p for i, p in sorted(peer_certs.items()) if i != my_id]
@@ -80,9 +87,15 @@ class TlsNetwork(TcpNetwork):
                 )
             return tsock
 
-        socks = form_mesh(my_id, addrs, timeout,
+        from . import wire
+
+        socks = form_mesh(my_id, addrs, timeout, n_conns=2,
                           server_wrap=server_wrap, client_wrap=client_wrap)
-        return cls(my_id, len(addrs), socks, recv_timeout=recv_timeout)
+        return cls(my_id, len(addrs), socks, recv_timeout=recv_timeout,
+                   max_frame_length=(wire.MAX_FRAME_LENGTH
+                                     if max_frame_length is None
+                                     else max_frame_length),
+                   duplex_split=True)
 
 
 def generate_self_signed(common_name: str, key_path: str, cert_path: str,

@@ -153,22 +153,26 @@ def _dec(data: bytes, pos: int):
     raise WireError(f"unknown wire tag {tag:#x}")
 
 
-def encode(obj) -> bytes:
+def encode(obj, max_frame_length: int | None = None) -> bytes:
     """Message -> bytes. Device arrays are fetched to host; namedtuples are
-    flattened to plain tuples (receivers treat messages structurally)."""
+    flattened to plain tuples (receivers treat messages structurally).
+    The frame cap is per-call (each network threads its own configured
+    max_frame_length); the module constant is only the default."""
     out: list = []
     _enc(obj, out)
     data = b"".join(out)
-    if len(data) > MAX_FRAME_LENGTH:
+    cap = MAX_FRAME_LENGTH if max_frame_length is None else max_frame_length
+    if len(data) > cap:
         raise WireError(
-            f"frame of {len(data)} bytes exceeds MAX_FRAME_LENGTH"
+            f"frame of {len(data)} bytes exceeds max_frame_length={cap}"
         )
     return data
 
 
-def decode(data: bytes):
-    if len(data) > MAX_FRAME_LENGTH:
-        raise WireError("incoming frame exceeds MAX_FRAME_LENGTH")
+def decode(data: bytes, max_frame_length: int | None = None):
+    cap = MAX_FRAME_LENGTH if max_frame_length is None else max_frame_length
+    if len(data) > cap:
+        raise WireError("incoming frame exceeds max_frame_length")
     obj, pos = _dec(bytes(data), 0)
     if pos != len(data):
         raise WireError("trailing bytes in frame")

@@ -181,3 +181,30 @@ def encode_inputs(abi: dict, prover_toml: dict, p: int) -> list[int]:
         out.extend(_flatten_value(param["type"], prover_toml[param["name"]],
                                   p))
     return out
+
+
+def encode_inputs_by_name(abi: dict, prover_toml: dict,
+                          p: int) -> dict[str, list[int]]:
+    """Flatten a (possibly partial) Prover.toml to {param name: field
+    values}; only parameters present in the TOML are encoded. Mirrors the
+    reference's name-keyed Rep3SharedInput maps
+    (co-noir/co-noir-types/src/lib.rs merge_input_shares), which lets
+    several input providers each share a disjoint subset of the ABI."""
+    out = {}
+    for param in abi["parameters"]:
+        if param["name"] in prover_toml:
+            out[param["name"]] = _flatten_value(
+                param["type"], prover_toml[param["name"]], p)
+    return out
+
+
+def flatten_named_inputs(abi: dict, named: dict[str, list]) -> list:
+    """Order name-keyed flattened inputs into the initial witness list;
+    every ABI parameter must be present."""
+    out = []
+    for param in abi["parameters"]:
+        if param["name"] not in named:
+            raise ValueError(
+                f"input parameter '{param['name']}' missing from shares")
+        out.extend(named[param["name"]])
+    return out

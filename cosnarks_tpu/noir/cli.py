@@ -51,14 +51,24 @@ def _read_share_file(path: str, fmt: str):
 
 
 def cmd_split_input(args):
+    """Share a (possibly partial) Prover.toml. Entries are keyed by ABI
+    input NAME (reference co-noir-types merge_input_shares merges by
+    name), so several providers can each share a disjoint parameter
+    subset and merge-input-shares stitches them together."""
     p = BN254_FR.p
     art = acir.load_artifact(args.circuit)
     prover = tomllib.load(open(args.input, "rb"))
-    values = acir.encode_inputs(art.abi, prover, p)
-    per_party = [[] for _ in range(3)]
-    for v in values:
-        for k, sh in enumerate(_share3(v, p)):
-            per_party[k].append(sh)
+    named = acir.encode_inputs_by_name(art.abi, prover, p)
+    if not named:
+        raise ValueError("Prover.toml provides no ABI inputs")
+    per_party = [dict() for _ in range(3)]
+    for name, values in named.items():
+        shares = [[] for _ in range(3)]
+        for v in values:
+            for k, sh in enumerate(_share3(v, p)):
+                shares[k].append(list(sh))
+        for k in range(3):
+            per_party[k][name] = shares[k]
     base = os.path.basename(args.input)
     os.makedirs(args.out_dir, exist_ok=True)
     for k in range(3):
@@ -83,24 +93,23 @@ def cmd_split_witness(args):
 
 
 def cmd_merge_input_shares(args):
-    """Merge per-provider input shares (each provider shares a disjoint
-    subset of the ABI inputs; co-noir.rs MergeInputShares)."""
-    merged = None
+    """Merge per-provider input shares by ABI input name (each provider
+    shares a disjoint subset of the ABI inputs; reference
+    co-noir-types merge_input_shares / co-noir.rs MergeInputShares).
+    Duplicate parameter names across providers are an error."""
+    merged: dict = {}
     party = None
     for path in args.inputs:
         data = _read_share_file(path, _FMT_INPUT)
         if party is None:
             party = data["party"]
-            merged = [None] * len(data["entries"])
         if data["party"] != party:
             raise ValueError("input shares stem from different party ids")
-        for i, sh in enumerate(data["entries"]):
-            if sh is not None:
-                if merged[i] is not None and merged[i] != sh:
-                    raise ValueError(f"conflicting shares for input {i}")
-                merged[i] = sh
-    if any(m is None for m in merged):
-        raise ValueError("merged inputs leave holes")
+        for name, sh in data["entries"].items():
+            if name in merged:
+                raise ValueError(
+                    f"input '{name}' provided by more than one share file")
+            merged[name] = sh
     _write_share_file(args.out, _FMT_INPUT, party, merged)
     print(f"wrote {args.out}")
 
@@ -138,11 +147,13 @@ def cmd_generate_witness(args):
     from ..mpc.net.config import NetworkConfig
 
     data = _read_share_file(args.input, _FMT_INPUT)
+    entries = [tuple(sh) for sh in
+               acir.flatten_named_inputs(art.abi, data["entries"])]
     with phase("Establish network"):
         net = NetworkConfig.from_toml(args.config).connect()
     try:
         with phase("Witness extension"):
-            proto, drv, wit = _solve_rep3(art, net, data["entries"])
+            proto, drv, wit = _solve_rep3(art, net, entries)
         entries = {}
         for k, v in wit.items():
             sh = drv.to_share(v)
@@ -166,9 +177,9 @@ def cmd_circuit_info(args):
         "opcodes": len(fn.opcodes),
         "opcode_kinds": kinds,
         "current_witness_index": fn.current_witness,
-        "private_parameters": sorted(getattr(fn, "private_parameters", []) or []),
-        "public_parameters": sorted(getattr(fn, "public_parameters", []) or []),
-        "return_values": sorted(getattr(fn, "return_values", []) or []),
+        "private_parameters": sorted(fn.private_params),
+        "public_parameters": sorted(fn.public_params),
+        "return_values": sorted(fn.return_values),
     }, indent=2))
 
 

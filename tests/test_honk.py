@@ -1,0 +1,153 @@
+"""UltraHonk stack tests: transcript, CRS, builder, end-to-end proofs.
+
+External anchors (no Aztec G1 CRS is available offline):
+- Poseidon2 t=4 permutation KAT from the reference
+  (mpc-core/src/gadgets/poseidon2/poseidon2_permutation.rs:366).
+- The Barretenberg KAT proof byte counts in
+  test_vectors/noir/poseidon/kat: pos_proof_with_kec is 6016 bytes = 188
+  words (implying dyadic circuit size 2^11), pos_proof_with_pos is 13120
+  bytes = 410 words (CONST_PROOF_SIZE_LOG_N = 25 padding). Our builder
+  and prover must reproduce both layouts exactly.
+- Full self-verification (incl. the real BN254 pairing check) under a
+  local known-tau CRS.
+"""
+
+import os
+
+import pytest
+
+from cosnarks_tpu.ec import curves
+from cosnarks_tpu.ec.host import host_curve
+from cosnarks_tpu.honk import builder as hbuilder
+from cosnarks_tpu.honk import crs as hcrs
+from cosnarks_tpu.honk import polyops
+from cosnarks_tpu.honk import prover as hprover
+from cosnarks_tpu.honk import proving_key as hpk
+from cosnarks_tpu.honk import transcript as ht
+from cosnarks_tpu.honk import verifier as hverifier
+from cosnarks_tpu.noir import acir
+
+REF = "/root/reference/test_vectors/noir"
+R = polyops.R
+
+
+def test_poseidon2_t4_permutation_kat():
+    out = ht._POS.permutation(ht._POS_DRIVER, [0, 1, 2, 3])
+    assert out == [
+        0x01bd538c2ee014ed5141b29e9ae240bf8db3fe5b9a38629a9647cf8d76c01737,
+        0x239b62e7db98aa3a2a8f6a0d2fa1709e7a35959aa6c7034814d9daa90cbac662,
+        0x04cbb44c61d928ed06808456bf758cbf0c18d1e15a7b6dbc8245fa7515d5e3cb,
+        0x2e11c5cff2a22c64d01304b778d78f6998eff1ab73163a35603f54794c30847a,
+    ]
+
+
+@pytest.mark.parametrize("flavor", ["poseidon2", "keccak"])
+def test_transcript_roundtrip(flavor):
+    H = ht.HASHERS[flavor]
+    t = ht.Transcript(H)
+    t.send_fr("a", 42)
+    t.send_point("P", (1, 2))
+    t.send_point("Inf", None)
+    ch = t.get_challenge("x")
+    chs = t.get_challenges(["b", "g"])
+    t2 = ht.Transcript(H, proof=t.get_proof())
+    assert t2.receive_fr("a") == 42
+    assert t2.receive_point("P") == (1, 2)
+    assert t2.receive_point("Inf") is None
+    assert t2.get_challenge("x") == ch
+    assert t2.get_challenges(["b", "g"]) == chs
+
+
+def test_g2_dat_parse_on_curve():
+    pt = hcrs.read_g2_dat()
+    g2 = host_curve(curves.BN254_G2)
+    assert g2.on_curve(g2.lift_affine(pt))
+
+
+def test_local_crs_pairing_consistency():
+    from cosnarks_tpu.pairing import bn254
+
+    c = hcrs.local_crs(3)
+    assert c.monomials[0] == tuple(curves.BN254_G1.generator)
+    q = curves.BN254_G1.ops.field.p
+    assert bn254.pairing_product_is_one([
+        (c.monomials[1], curves.BN254_G2.generator),
+        ((c.monomials[0][0], (-c.monomials[0][1]) % q), c.g2_x),
+    ])
+
+
+def test_g1_dat_roundtrip(tmp_path):
+    c = hcrs.local_crs(4)
+    path = os.path.join(tmp_path, "g1.dat")
+    hcrs.write_g1_dat(path, c.monomials)
+    assert hcrs.read_g1_dat(path, 4) == c.monomials
+
+
+def test_univariate_extension_and_eval():
+    import random
+
+    rng = random.Random(7)
+    coeffs = [rng.randrange(R) for _ in range(6)]
+    evals = [polyops.eval_poly(coeffs, k) for k in range(6)]
+    ext = polyops.extend_univariate(evals, 9)
+    assert ext == [polyops.eval_poly(coeffs, k) for k in range(9)]
+    u = rng.randrange(R)
+    assert polyops.evaluate_univariate(ext, u) == polyops.eval_poly(coeffs, u)
+
+
+def _poseidon_pk():
+    art = acir.load_artifact(f"{REF}/poseidon/kat/poseidon.json")
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    wit = acir.load_witness_stack(f"{REF}/poseidon/kat/poseidon.gz")
+    witness = [wit.get(i, 0) for i in range(af.max_witness_index + 1)]
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    return hpk.create_proving_key(b)
+
+
+@pytest.fixture(scope="module")
+def poseidon_setup():
+    pk = _poseidon_pk()
+    crs = hcrs.cached_local_crs(pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    return pk, crs, vk
+
+
+def test_builder_poseidon_matches_reference_trace_shape(poseidon_setup):
+    pk, _, _ = poseidon_setup
+    # dyadic size anchored by the Barretenberg KAT proof length:
+    # pos_proof_with_kec = 188 words = 59 + 11 * log_n + 8 => log_n = 11
+    kec = os.path.getsize(f"{REF}/poseidon/kat/pos_proof_with_kec")
+    log_n = (kec // 32 - 59 - 8) // 11
+    assert pk.circuit_size == 1 << log_n == 2048
+    # 1 return value + 8 pairing-point accumulator entries
+    assert pk.num_public_inputs == 9
+    assert pk.pub_inputs_offset == 1
+
+
+def test_vk_serde_roundtrip(poseidon_setup):
+    _, _, vk = poseidon_setup
+    for kec in (False, True):
+        buf = vk.to_buffer(keccak=kec)
+        vk2 = hpk.VerifyingKey.from_buffer(buf, keccak=kec)
+        assert vk2.commitments == vk.commitments
+        assert vk2.log_circuit_size == vk.log_circuit_size
+
+
+@pytest.mark.parametrize("flavor,kat", [
+    ("keccak", "pos_proof_with_kec"),
+    ("poseidon2", "pos_proof_with_pos"),
+])
+def test_ultrahonk_e2e_poseidon(poseidon_setup, flavor, kat):
+    pk, crs, vk = poseidon_setup
+    H = ht.HASHERS[flavor]
+    proof, pub = hprover.prove(pk, vk, crs, H)
+    # exact byte-layout parity with the Barretenberg KAT proof (the KAT
+    # file excludes the real public inputs but keeps the pairing-point
+    # accumulator, like HonkProof::separate_proof_and_public_inputs)
+    kat_words = os.path.getsize(f"{REF}/poseidon/kat/{kat}") // 32
+    assert len(proof) == kat_words
+    assert len(pub) == 1
+    assert hverifier.verify(proof, pub, vk, crs.g2_x, H)
+    bad = list(proof)
+    bad[len(bad) // 2] = (bad[len(bad) // 2] + 1) % R
+    assert not hverifier.verify(bad, pub, vk, crs.g2_x, H)

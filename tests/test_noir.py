@@ -129,7 +129,7 @@ def test_conoir_cli_pipeline(tmp_path):
     # 3 localhost parties, one thread each
     ports = [18750, 18751, 18752]
     for k in range(3):
-        lines = [f"my_id = {k}"]
+        lines = [f"my_id = {k}", "insecure_plaintext = true"]
         for j in range(3):
             lines += ["", "[[parties]]", f"id = {j}",
                       f'dns_name = "127.0.0.1:{ports[j]}"']
