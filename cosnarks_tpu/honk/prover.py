@@ -203,119 +203,103 @@ def gate_separator_products(betas: list[int], log_n: int) -> list[int]:
     return bp
 
 
-def _compute_round_univariate(polys, params, alphas, beta_products,
-                              periodicity, pow_partial, current_beta,
-                              round_size):
-    """One sumcheck round univariate, evaluated at 0..7 (vectorized over
-    edges; sumcheck_round_prover.rs compute_univariate)."""
-    n_edges = round_size // 2
-    even = {}
-    diff = {}
+def _edge_rows(cur, round_size):
+    """Concatenate the 8 evaluation-point rows of every entity into one
+    long vector per entity: value[k*n_edges + e] = even_e + k*diff_e.
+    Works on FV (plain) and SVec (shared) polynomials."""
+    D = BATCHED_RELATION_PARTIAL_LENGTH
+    row = {}
     for name in ENTITY_ORDER:
-        arr = np.array(polys[name][:round_size], dtype=object)
-        ev = arr[0::2]
-        od = arr[1::2]
-        even[name] = ev
-        diff[name] = (od - ev) % R
-    scaling = FV(np.array(
-        [beta_products[e * periodicity] for e in range(n_edges)],
-        dtype=object))
-    sub_sums = [[0] * BATCHED_RELATION_PARTIAL_LENGTH
-                for _ in range(relations.NUM_SUBRELATIONS)]
-    for k in range(BATCHED_RELATION_PARTIAL_LENGTH):
-        row = {name: FV((even[name] + k * diff[name]) % R)
-               for name in ENTITY_ORDER}
-        contribs = relations.accumulate(row, params, scaling)
-        for j, c in enumerate(contribs):
-            if j in relations.LINEARLY_DEPENDENT:
-                # the scaling factor was not applied; plain edge sum
-                sub_sums[j][k] = c.sum() if isinstance(c, FV) else c % R
-            else:
-                sub_sums[j][k] = c.sum() if isinstance(c, FV) else c % R
-    return _batch_subrel_univariates(sub_sums, alphas, pow_partial,
-                                     current_beta)
+        poly = cur[name]
+        even = poly.slice_strided(0, round_size)
+        odd = poly.slice_strided(1, round_size)
+        diff = odd - even
+        row[name] = even.concat([even + k * diff for k in range(1, D)])
+    return row
 
 
-def _batch_subrel_univariates(sub_sums, alphas, pow_partial, current_beta):
+def _compute_round_univariate(cur, params, alphas, beta_products,
+                              periodicity, pow_partial, current_beta,
+                              round_size, skip=frozenset()):
+    """One sumcheck round univariate, evaluated at 0..7 (vectorized over
+    edges AND evaluation points; sumcheck_round_prover.rs
+    compute_univariate). `cur` maps entity -> FV or SVec. Returns a
+    length-8 FV (plain) or SVec (shared)."""
+    D = BATCHED_RELATION_PARTIAL_LENGTH
+    n_edges = round_size // 2
+    row = _edge_rows(cur, round_size)
+    bp = np.array([beta_products[e * periodicity] for e in range(n_edges)],
+                  dtype=object)
+    scaling = FV(np.concatenate([bp] * D))
+    contribs = relations.accumulate(row, params, scaling, skip=skip)
+    return _batch_subrel_univariates(contribs, alphas, pow_partial,
+                                     current_beta, n_edges)
+
+
+def _batch_subrel_univariates(contribs, alphas, pow_partial, current_beta,
+                              n_edges):
     """batch_over_relations_univariates + extend_and_batch_univariates:
     result[k] = pow_partial * rp(k) * sum_indep alpha_j S_j(k)
-                + sum_dep alpha_j S_j(k), with rp(k) = (1-k) + k*beta."""
-    out = [0] * BATCHED_RELATION_PARTIAL_LENGTH
-    for k in range(BATCHED_RELATION_PARTIAL_LENGTH):
-        rp = (1 + k * (current_beta - 1)) % R
-        indep = 0
-        dep = 0
-        for j in range(relations.NUM_SUBRELATIONS):
-            scalar = 1 if j == 0 else alphas[j - 1]
-            if j in relations.LINEARLY_DEPENDENT:
-                dep = (dep + scalar * sub_sums[j][k]) % R
-            else:
-                indep = (indep + scalar * sub_sums[j][k]) % R
-        out[k] = (pow_partial * rp % R * indep + dep) % R
+                + sum_dep alpha_j S_j(k), with rp(k) = (1-k) + k*beta.
+    Contributions are length-8*n_edges vectors; per-point sums are taken
+    blockwise."""
+    D = BATCHED_RELATION_PARTIAL_LENGTH
+    indep = None
+    dep = None
+    for j, c in enumerate(contribs):
+        if c is None:
+            continue
+        scalar = 1 if j == 0 else alphas[j - 1]
+        term = c * scalar
+        if j in relations.LINEARLY_DEPENDENT:
+            dep = term if dep is None else dep + term
+        else:
+            indep = term if indep is None else indep + term
+    rp = FV(np.array([(pow_partial * (1 + k * (current_beta - 1))) % R
+                      for k in range(D)], dtype=object))
+    out = indep.block_sums(D) * rp
+    if dep is not None:
+        out = out + dep.block_sums(D)
     return out
 
 
 def sumcheck_prove(polys, params, alphas, gate_challenges, circuit_size,
-                   virtual_log_n, transcript: Transcript):
-    """sumcheck_prover.rs sumcheck_prove (non-ZK)."""
+                   virtual_log_n, transcript: Transcript, skip=frozenset(),
+                   send_univariate=None):
+    """sumcheck_prover.rs sumcheck_prove (non-ZK). `polys` maps entity ->
+    FV (plain) or SVec (shared). Real rounds use the gate-separator
+    products as per-edge scaling; padding rounds (virtual_log_n > log_n)
+    reduce to the single edge (poly[0], poly[1]) with scaling 1
+    (compute_virtual_contribution). `send_univariate` lets the
+    collaborative prover open the shared round univariate before it hits
+    the transcript; default sends plain ints."""
     log_n = (circuit_size - 1).bit_length()
     beta_products = gate_separator_products(gate_challenges, log_n)
+    if send_univariate is None:
+        def send_univariate(label, univ):
+            transcript.send_frs(label, [int(v) for v in univ.a])
     pow_partial = 1
     round_size = circuit_size
     challenges = []
-    cur = {name: list(polys[name]) for name in ENTITY_ORDER}
+    cur = dict(polys)
+    ones = [1, 1]
 
-    for round_idx in range(log_n):
-        periodicity = 2 << round_idx
+    for k in range(virtual_log_n):
+        padding = k >= log_n
+        bp = ones if padding else beta_products
+        rs = 2 if padding else round_size
         univariate = _compute_round_univariate(
-            cur, params, alphas, beta_products, periodicity, pow_partial,
-            gate_challenges[round_idx], round_size)
-        transcript.send_frs(f"Sumcheck:univariate_{round_idx}", univariate)
-        u = transcript.get_challenge(f"Sumcheck:u_{round_idx}")
+            cur, params, alphas, bp, 0 if padding else (2 << k),
+            pow_partial, gate_challenges[k], rs, skip=skip)
+        send_univariate(f"Sumcheck:univariate_{k}", univariate)
+        u = transcript.get_challenge(f"Sumcheck:u_{k}")
         challenges.append(u)
-        # partially evaluate all polys
-        half = round_size // 2
-        for name in ENTITY_ORDER:
-            arr = cur[name]
-            nxt = [(arr[2 * i] + u * (arr[2 * i + 1] - arr[2 * i])) % R
-                   for i in range(half)]
-            if len(nxt) < 2:
-                nxt.append(0)
-            cur[name] = nxt
-        # NOTE: beta_products for later rounds are indexed with the same
-        # global array; pow_partial accumulates the per-round factor
-        pow_partial = pow_partial * (1 + u * (gate_challenges[round_idx] - 1)) % R
-        round_size //= 2
+        cur = {name: cur[name].fold(u) for name in ENTITY_ORDER}
+        pow_partial = pow_partial * (1 + u * (gate_challenges[k] - 1)) % R
+        if not padding:
+            round_size //= 2
 
-    # virtual padding rounds (sumcheck_prover.rs:173-204, non-ZK):
-    # compute_virtual_contribution accumulates the single edge
-    # (poly[0], poly[1]) with gate-separator tail 1, batched with the
-    # virtual separator built over the full gate_challenges.
-    if virtual_log_n > log_n:
-        vsep_partial = 1
-        for i, u in enumerate(challenges):
-            vsep_partial = vsep_partial * (1 + u * (gate_challenges[i] - 1)) % R
-        for k in range(log_n, virtual_log_n):
-            sub_sums = [[0] * BATCHED_RELATION_PARTIAL_LENGTH
-                        for _ in range(relations.NUM_SUBRELATIONS)]
-            for kk in range(BATCHED_RELATION_PARTIAL_LENGTH):
-                row = {name: (cur[name][0]
-                              + kk * (cur[name][1] - cur[name][0])) % R
-                       for name in ENTITY_ORDER}
-                contribs = relations.accumulate(row, params, 1)
-                for j, c in enumerate(contribs):
-                    sub_sums[j][kk] = c % R
-            univariate = _batch_subrel_univariates(
-                sub_sums, alphas, vsep_partial, gate_challenges[k])
-            transcript.send_frs(f"Sumcheck:univariate_{k}", univariate)
-            u = transcript.get_challenge(f"Sumcheck:u_{k}")
-            challenges.append(u)
-            for name in ENTITY_ORDER:
-                cur[name][0] = cur[name][0] * (1 - u) % R
-            vsep_partial = vsep_partial * (1 + u * (gate_challenges[k] - 1)) % R
-
-    evaluations = [cur[name][0] for name in ENTITY_ORDER]
-    transcript.send_frs("Sumcheck:evaluations", evaluations)
+    evaluations = [cur[name] for name in ENTITY_ORDER]
     return challenges, evaluations
 
 
@@ -363,6 +347,11 @@ def gemini_prove(polys, challenges, log_n, crs, transcript: Transcript):
         tail = tail * (1 - challenges[k]) % R
         fold_polys.append([final_eval * tail % R])
 
+    # only the first virtual_log_n - 1 folds are committed and claimed —
+    # for the non-padding flavor the trailing constant fold is unused
+    # (construct_univariate_opening_claims zips r_squares.skip(1) with the
+    # folds, truncating)
+    fold_polys = fold_polys[:virtual_log_n - 1]
     for l in range(virtual_log_n - 1):
         transcript.send_point(f"Gemini:FOLD_{l + 1}",
                               polyops.commit(fold_polys[l], crs))
@@ -467,9 +456,12 @@ def prove(pk: ProvingKey, vk, crs, hasher) -> tuple[list[int], list[int]]:
     gate_challenges = transcript.get_powers_of_challenge(
         "Sumcheck:gate_challenge", virtual_log_n)
 
-    challenges, _evals = sumcheck_prove(
-        polys, params, alphas, gate_challenges, pk.circuit_size,
+    fv_polys = {name: FV(np.array(polys[name], dtype=object))
+                for name in ENTITY_ORDER}
+    challenges, evals = sumcheck_prove(
+        fv_polys, params, alphas, gate_challenges, pk.circuit_size,
         virtual_log_n, transcript)
+    transcript.send_frs("Sumcheck:evaluations", [e.at(0) for e in evals])
 
     claims = gemini_prove(polys, challenges, log_n, crs, transcript)
     quotient, z = shplonk_prove(claims, crs, transcript, virtual_log_n)

@@ -29,6 +29,28 @@ import random
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tier (full KAT corpora, large proofs); "
+        "enabled with --runslow or COSNARKS_SLOW=1")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow-marked tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("COSNARKS_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: use --runslow or "
+                                   "COSNARKS_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return random.Random(0xC05)

@@ -133,6 +133,92 @@ def test_vk_serde_roundtrip(poseidon_setup):
         assert vk2.log_circuit_size == vk.log_circuit_size
 
 
+def _prove_verify(name, flavor="keccak"):
+    art = acir.load_artifact(f"{REF}/{name}/kat/{name}.json")
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    wit = acir.load_witness_stack(f"{REF}/{name}/kat/{name}.gz")
+    witness = [wit.get(i, 0) for i in range(af.max_witness_index + 1)]
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    pk = hpk.create_proving_key(b)
+    crs = hcrs.cached_local_crs(pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    H = ht.HASHERS[flavor]
+    proof, pub = hprover.prove(pk, vk, crs, H)
+    assert hverifier.verify(proof, pub, vk, crs.g2_x, H)
+    return pk
+
+
+# fast tier: small circuits exercising arith / ranges / brillig outputs
+@pytest.mark.parametrize("name", [
+    "addition_multiplication", "negative", "if_then", "slice", "get_bytes",
+])
+def test_ultrahonk_e2e_small(name):
+    _prove_verify(name)
+
+
+# slow tier: bigger circuits exercising uint ranges, logic plookup tables,
+# poseidon2 gates, ROM memory, brillig-heavy programs
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "assert", "to_radix32", "poseidon_assert", "blackbox_poseidon2",
+    "blackbox_and", "blackbox_xor", "random_access", "add3u64",
+    "approx_sigmoid", "quantized", "poseidon_stdlib", "write_access",
+    "unconstrained_fn_field", "poseidon2", "poseidon_input2",
+    "unconstrained_fn", "unconstrained_fn_not",
+])
+def test_ultrahonk_e2e_corpus(name):
+    _prove_verify(name)
+
+
+def _co_prove(name, flavor):
+    """3-party Rep3 co-UltraHonk over LocalNetwork; asserts all parties
+    produce the identical proof and that it equals the plain proof of the
+    same witness (mirrors tests/tests/noir/proof_tests/rep3.rs)."""
+    import secrets
+
+    from cosnarks_tpu.honk import co_prover as hco
+    from cosnarks_tpu.honk.co_driver import Rep3HonkDriver
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.mpc.rep3_scalar import HostRng
+
+    art = acir.load_artifact(f"{REF}/{name}/kat/{name}.json")
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    wit = acir.load_witness_stack(f"{REF}/{name}/kat/{name}.gz")
+    witness = [wit.get(i, 0) for i in range(af.max_witness_index + 1)]
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    pk = hpk.create_proving_key(b)
+    crs = hcrs.cached_local_crs(pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    H = ht.HASHERS[flavor]
+    plain_proof, plain_pub = hprover.prove(pk, vk, crs, H)
+    shares = hco.share_proving_key(pk, None)
+
+    def party(i):
+        def run(net):
+            seed = secrets.token_bytes(32)
+            key_next = net.reshare_backward(seed)
+            drv = Rep3HonkDriver(net, HostRng(seed, key_next))
+            return hco.co_prove(pk, shares[i], vk, crs, H, drv)
+        return run
+
+    res = run_parties([party(i) for i in range(3)])
+    assert res[0][0] == res[1][0] == res[2][0], "parties disagree"
+    assert res[0][0] == plain_proof and res[0][1] == plain_pub
+    assert hverifier.verify(res[0][0], res[0][1], vk, crs.g2_x, H)
+
+
+@pytest.mark.parametrize("flavor", ["keccak", "poseidon2"])
+def test_co_ultrahonk_small(flavor):
+    _co_prove("if_then", flavor)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["poseidon", "addition_multiplication",
+                                  "negative"])
+def test_co_ultrahonk_corpus(name):
+    _co_prove(name, "keccak")
+
+
 @pytest.mark.parametrize("flavor,kat", [
     ("keccak", "pos_proof_with_kec"),
     ("poseidon2", "pos_proof_with_pos"),
