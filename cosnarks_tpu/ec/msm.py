@@ -165,91 +165,142 @@ def _weighted_bucket_sum(spec: CurveSpec, buckets):
     return ec.add(spec, w1, w2)
 
 
+def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
+                       X, Y, inf_in, B: int, nwin: int):
+    """Scatter-free first level: fold K sorted points per chunk with the
+    fused mixed-add, dumping the running sum densely per step; interior
+    bucket sums are read back with one gather (positions from
+    searchsorted). Returns the (prefix, suffix) boundary stream for the
+    next level plus the partially-filled bucket array."""
+    o = spec.ops
+    K = CHUNK_K
+    N = order.shape[1]
+    pad = -N % K
+    if pad:
+        # padded entries carry bucket id B (beyond every real bucket, and
+        # outside the searchsorted range) so they only ever form trailing
+        # dropped segments
+        sortedb = jnp.concatenate(
+            [sortedb, jnp.full((nwin, pad), B, sortedb.dtype)], axis=1)
+        order = jnp.concatenate(
+            [order, jnp.zeros((nwin, pad), order.dtype)], axis=1)
+        sorted_sign = jnp.concatenate(
+            [sorted_sign, jnp.zeros((nwin, pad), bool)], axis=1)
+        N += pad
+    C = N // K
+    w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
+
+    keys3 = sortedb.reshape(nwin, C, K)
+    pos3 = order.reshape(nwin, C, K)
+    sgn3 = sorted_sign.reshape(nwin, C, K)
+    first_key = keys3[:, :, 0]
+    buf = ec.point_inf(spec, (K, nwin, C))
+
+    def step(t, state):
+        run, cur_key, prefix, buf = state
+        k = jax.lax.dynamic_index_in_dim(keys3, t, axis=2, keepdims=False)
+        pos = jax.lax.dynamic_index_in_dim(pos3, t, axis=2, keepdims=False)
+        flat = pos.reshape(-1)
+        qx = jnp.take(X, flat, axis=0).reshape((nwin, C) + X.shape[1:])
+        qy = jnp.take(Y, flat, axis=0).reshape((nwin, C) + Y.shape[1:])
+        sgn = jax.lax.dynamic_index_in_dim(sgn3, t, axis=2, keepdims=False)
+        qy = o.select(sgn, o.neg(qy), qy)
+        v_valid = ~inf_in[flat].reshape(nwin, C)
+        one = o.one_like(qx)
+        v_jac = (qx, qy, o.select(v_valid, one, o.zeros_like(one)))
+        changed = k != cur_key
+        is_first = cur_key == first_key
+        prefix = ec.select_point(spec, changed & is_first, run, prefix)
+        # dump the running sum at slot t; a segment ending at sorted
+        # position e is read back from slot ((e % K) + 1, e // K)
+        buf = tuple(
+            jax.lax.dynamic_update_index_in_dim(bc, rc, t, axis=0)
+            for bc, rc in zip(buf, run))
+        grown = ec.madd(spec, run, (qx, qy), ~changed & v_valid)
+        run = ec.select_point(spec, changed, v_jac, grown)
+        return run, k, prefix, buf
+
+    init = (ec.point_inf(spec, (nwin, C)), first_key,
+            ec.point_inf(spec, (nwin, C)), buf)
+    run, cur_key, prefix, buf = jax.lax.fori_loop(0, K, step, init)
+    single = cur_key == first_key
+    prefix = ec.select_point(spec, single, run, prefix)
+
+    # interior-segment placement from the sorted keys
+    bids = jnp.arange(B, dtype=jnp.int32)
+    starts = jax.vmap(
+        lambda sb: jnp.searchsorted(sb, bids, side="left"))(sortedb)
+    ends = jax.vmap(
+        lambda sb: jnp.searchsorted(sb, bids, side="right"))(sortedb)
+    end_idx = ends - 1
+    interior = ((ends > starts) & (starts // K == end_idx // K)
+                & (starts % K != 0) & (end_idx % K != K - 1))
+    t_idx = jnp.where(interior, end_idx % K + 1, 0)
+    c_idx = jnp.where(interior, end_idx // K, 0)
+    gathered = tuple(bc[t_idx, w_idx, c_idx] for bc in buf)
+    buckets = ec.select_point(spec, interior, gathered,
+                              ec.point_inf(spec, (nwin, B)))
+
+    suf_key = jnp.where(single, first_key, cur_key)
+    suffix = ec.select_point(spec, single, ec.point_inf(spec, (nwin, C)),
+                             run)
+    keys = jnp.stack([first_key, suf_key], axis=2).reshape(nwin, 2 * C)
+    vals = tuple(
+        jnp.stack([p, s], axis=2).reshape((nwin, 2 * C) + p.shape[2:])
+        for p, s in zip(prefix, suffix))
+    return {"keys": keys, "vals": vals, "buckets": buckets}
+
+
 def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
                        X, Y, inf_in, B: int, nwin: int):
     """Chunked segmented reduction of sorted (bucket, point) streams into
     (nwin, B) Jacobian bucket sums. See _pippenger_signed docstring.
 
-    Each level folds K consecutive entries per lane; a bucket whose segment
-    lies entirely inside one chunk is written (scatter-set — provably a
-    unique writer), boundary partials are re-emitted as a 2*(M/K)-entry
-    sorted stream for the next level. Invalid tails carry bucket id B,
-    which scatter-'drop's.
+    Level 0 (the whole-input level) is scatter-free: the running sum is
+    dumped densely into a (K, nwin, C) buffer each step, and interior
+    segments — those fully inside one chunk, i.e. whose start is in the
+    same chunk at a non-chunk-start offset and whose end is not the
+    chunk's last slot — are read back with ONE gather at positions
+    computed from searchsorted (the completed run for a segment ending at
+    sorted position e sits in buffer slot ((e % K) + 1, e // K)). Per-step
+    bucket scatters cost as much as the point additions themselves on TPU;
+    the dense dump + gather replaces 32 scatters with cheap
+    dynamic_update_slices.
+
+    Later levels fold the 2-per-chunk (prefix, suffix) boundary streams —
+    geometrically shrinking — with the original scatter-set writes.
     """
     K = CHUNK_K
-    N = order.shape[1]
-    buckets = ec.point_inf(spec, (nwin, B))
+    state0 = _level0_accumulate(spec, order, sortedb, sorted_sign, X, Y,
+                                inf_in, B, nwin)
+    keys, vals, buckets = state0["keys"], state0["vals"], state0["buckets"]
     w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
 
-    # ---- level 0: values fetched by point index ---------------------------
-    def fetch0(keys3, t, C):
-        pos = jax.lax.dynamic_index_in_dim(keys3["pos"], t, axis=2,
-                                           keepdims=False)  # (nwin, C)
-        flat = pos.reshape(-1)
-        qx = jnp.take(X, flat, axis=0).reshape((nwin, C) + X.shape[1:])
-        qy = jnp.take(Y, flat, axis=0).reshape((nwin, C) + Y.shape[1:])
-        sgn = jax.lax.dynamic_index_in_dim(keys3["sgn"], t, axis=2,
-                                           keepdims=False)
-        qy = spec.ops.select(sgn, spec.ops.neg(qy), qy)
-        valid = ~inf_in[flat].reshape(nwin, C)
-        one = spec.ops.one_like(qx)
-        zero = spec.ops.zeros_like(one)
-        qjac = (qx, qy, spec.ops.select(valid, one, zero))
-        return (qx, qy), qjac, valid
-
-    keys, vals = sortedb, None
-    extras = {"pos": order, "sgn": sorted_sign}
     while True:
         M = keys.shape[1]
         Mp = -(-M // K) * K
         if Mp != M:
             keys = jnp.concatenate(
                 [keys, jnp.full((nwin, Mp - M), B, keys.dtype)], axis=1)
-            if vals is None:
-                extras = {
-                    "pos": jnp.concatenate(
-                        [extras["pos"],
-                         jnp.zeros((nwin, Mp - M), extras["pos"].dtype)],
-                        axis=1),
-                    "sgn": jnp.concatenate(
-                        [extras["sgn"],
-                         jnp.zeros((nwin, Mp - M), bool)], axis=1),
-                }
-            else:
-                inf = ec.point_inf(spec, (nwin, Mp - M))
-                vals = tuple(
-                    jnp.concatenate([v, i], axis=1)
-                    for v, i in zip(vals, inf)
-                )
+            inf = ec.point_inf(spec, (nwin, Mp - M))
+            vals = tuple(
+                jnp.concatenate([v, i], axis=1)
+                for v, i in zip(vals, inf)
+            )
         C = Mp // K
         keys3 = keys.reshape(nwin, C, K)
-        if vals is None:
-            fetch_extras = {
-                "pos": extras["pos"].reshape(nwin, C, K),
-                "sgn": extras["sgn"].reshape(nwin, C, K),
-            }
-
-            def fetch(t, _C=C, _e=fetch_extras):
-                return fetch0(_e, t, _C)
-        else:
-            vals3 = tuple(v.reshape((nwin, C, K) + v.shape[2:])
-                          for v in vals)
-
-            def fetch(t, _v=vals3, _C=C):
-                vj = tuple(
-                    jax.lax.dynamic_index_in_dim(x, t, axis=2,
-                                                 keepdims=False)
-                    for x in _v)
-                valid = ~spec.ops.is_zero(vj[2])
-                return None, vj, valid
-
+        vals3 = tuple(v.reshape((nwin, C, K) + v.shape[2:]) for v in vals)
         first_key = keys3[:, :, 0]
 
-        def step(t, state):
+        def step(t, state, keys3=keys3, vals3=vals3, first_key=first_key,
+                 C=C):
             run, cur_key, prefix, buckets = state
             k = jax.lax.dynamic_index_in_dim(keys3, t, axis=2,
                                              keepdims=False)
-            v_aff, v_jac, v_valid = fetch(t)
+            v_jac = tuple(
+                jax.lax.dynamic_index_in_dim(x, t, axis=2, keepdims=False)
+                for x in vals3)
+            v_valid = ~spec.ops.is_zero(v_jac[2])
             changed = k != cur_key
             is_first = cur_key == first_key
             prefix = ec.select_point(spec, changed & is_first, run, prefix)
@@ -259,13 +310,10 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
                 bc.at[w_idx, widx].set(rc, mode="drop")
                 for bc, rc in zip(buckets, run)
             )
-            if v_aff is not None:
-                grown = ec.madd(spec, run, v_aff, ~changed & v_valid)
-            else:
-                addend = ec.select_point(
-                    spec, ~changed & v_valid, v_jac,
-                    ec.point_inf(spec, v_jac[0].shape[:2]))
-                grown = ec.add(spec, run, addend)
+            addend = ec.select_point(
+                spec, ~changed & v_valid, v_jac,
+                ec.point_inf(spec, v_jac[0].shape[:2]))
+            grown = ec.add(spec, run, addend)
             run = ec.select_point(spec, changed, v_jac, grown)
             return run, k, prefix, buckets
 

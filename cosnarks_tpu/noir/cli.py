@@ -165,6 +165,198 @@ def cmd_generate_witness(args):
         net.close()
 
 
+def _load_crs(args, size: int, need_g2: bool = False):
+    """CRS from Barretenberg .dat files when provided (DownloadCrs output /
+    ~/.bb-crs), else the local known-tau CRS (zero-egress default)."""
+    from ..honk import crs as hcrs
+
+    if getattr(args, "crs_g1", None):
+        monomials = hcrs.read_g1_dat(args.crs_g1, size)
+        g2 = hcrs.read_g2_dat(args.crs_g2) if getattr(args, "crs_g2", None) \
+            else hcrs.read_g2_dat()
+        return hcrs.Crs(monomials, g2)
+    return hcrs.cached_local_crs(size)
+
+
+def _build_pk(circuit_path: str, witness: list[int] | None):
+    from ..honk import builder as hbuilder
+    from ..honk import proving_key as hpk
+
+    art = acir.load_artifact(circuit_path)
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    if witness is None:
+        witness = [0] * (af.max_witness_index + 1)  # write-vk mode
+    else:
+        witness = list(witness) + [0] * (af.max_witness_index + 1
+                                         - len(witness))
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    return hpk.create_proving_key(b)
+
+
+def _hasher(args):
+    from ..honk import transcript as ht
+
+    return ht.HASHERS["keccak" if args.hasher.upper() == "KECCAK"
+                      else "poseidon2"]
+
+
+def cmd_prove(args):
+    """Plain (single-party) UltraHonk proof — the reference's plaindriver
+    bin (co-noir/src/bin/plaindriver.rs)."""
+    from ..honk import prover as hprover
+    from ..honk import proving_key as hpk
+
+    wit = acir.load_witness_stack(args.witness)
+    pk = _build_pk(args.circuit, [wit.get(i, 0) for i in
+                                  range(max(wit) + 1)])
+    crs = _load_crs(args, pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    H = _hasher(args)
+    with phase("Generate proof"):
+        proof, pub = hprover.prove(pk, vk, crs, H)
+    with open(args.out, "wb") as fh:
+        fh.write(H.to_buffer(proof))
+    with open(args.public_input, "wb") as fh:
+        fh.write(H.to_buffer(pub))
+    with open(args.vk, "wb") as fh:
+        fh.write(vk.to_buffer(keccak=H.name == "keccak"))
+    print(f"wrote {args.out}, {args.public_input}, {args.vk}")
+
+
+def cmd_create_vk(args):
+    from ..honk import proving_key as hpk
+
+    pk = _build_pk(args.circuit, None)
+    crs = _load_crs(args, pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    H = _hasher(args)
+    with open(args.vk, "wb") as fh:
+        fh.write(vk.to_buffer(keccak=H.name == "keccak"))
+    print(f"wrote {args.vk}")
+
+
+def cmd_verify(args):
+    from ..honk import proving_key as hpk
+    from ..honk import verifier as hverifier
+
+    H = _hasher(args)
+    vk = hpk.VerifyingKey.from_buffer(open(args.vk, "rb").read(),
+                                      keccak=H.name == "keccak")
+    proof = H.from_buffer(open(args.proof, "rb").read())
+    pub = H.from_buffer(open(args.public_input, "rb").read())
+    from ..honk import crs as hcrs
+
+    g2 = (hcrs.read_g2_dat(args.crs_g2) if getattr(args, "crs_g2", None)
+          else _load_crs(args, 1 << vk.log_circuit_size).g2_x)
+    ok = hverifier.verify(proof, pub, vk, g2, H)
+    print("verified" if ok else "verification FAILED")
+    return 0 if ok else 1
+
+
+def cmd_split_proving_key(args):
+    """Build the proving key from circuit + witness and split the witness
+    polynomials into 3 Rep3 shares (co-noir.rs SplitProvingKey)."""
+    import numpy as np
+
+    from ..honk import co_prover as hco
+
+    wit = acir.load_witness_stack(args.witness)
+    pk = _build_pk(args.circuit, [wit.get(i, 0) for i in
+                                  range(max(wit) + 1)])
+    shares = hco.share_proving_key(pk, None)
+    os.makedirs(args.out_dir, exist_ok=True)
+    pub_path = os.path.join(args.out_dir, "pk_public.npz")
+    np.savez(pub_path,
+             circuit_size=pk.circuit_size,
+             num_public_inputs=pk.num_public_inputs,
+             pub_inputs_offset=pk.pub_inputs_offset,
+             final_active_wire_idx=pk.final_active_wire_idx,
+             memory_read_records=np.array(pk.memory_read_records,
+                                          dtype=np.int64),
+             memory_write_records=np.array(pk.memory_write_records,
+                                           dtype=np.int64),
+             public_inputs=np.array([str(v) for v in pk.public_inputs]),
+             active_ranges=np.array(pk.active_region_data.ranges,
+                                    dtype=np.int64).reshape(-1, 2),
+             **{name: np.array([str(v) for v in pk.polynomials[name]])
+                for name in _PK_PUBLIC_POLYS})
+    for k in range(3):
+        out = os.path.join(args.out_dir, f"pk.{k}.shared")
+        entries = {name: [[s.a, s.b] for s in shares[k][name]]
+                   for name in hco.SHARED_PK_ENTITIES}
+        _write_share_file(out, _FMT_PK, k, entries)
+        print(f"wrote {out}")
+    print(f"wrote {pub_path}")
+
+
+from ..honk.proving_key import PRECOMPUTED as _PK_PUBLIC_POLYS  # noqa: E402
+
+
+def _load_public_pk(path):
+    import numpy as np
+
+    from ..honk.proving_key import ActiveRegionData, ProvingKey
+
+    data = np.load(path)
+    polys = {name: [int(v) for v in data[name]]
+             for name in _PK_PUBLIC_POLYS}
+    for name in ("w_l", "w_r", "w_o", "w_4", "lookup_read_counts",
+                 "lookup_read_tags"):
+        polys[name] = [0] * int(data["circuit_size"])
+    active = ActiveRegionData.new()
+    for start, end in data["active_ranges"]:
+        active.add_range(int(start), int(end))
+    n = int(data["circuit_size"])
+    return ProvingKey(
+        circuit_size=n, log_circuit_size=(n - 1).bit_length(),
+        public_inputs=[int(v) for v in data["public_inputs"]],
+        num_public_inputs=int(data["num_public_inputs"]),
+        pub_inputs_offset=int(data["pub_inputs_offset"]),
+        polynomials=polys,
+        memory_read_records=[int(v) for v in data["memory_read_records"]],
+        memory_write_records=[int(v) for v in data["memory_write_records"]],
+        final_active_wire_idx=int(data["final_active_wire_idx"]),
+        active_region_data=active)
+
+
+def cmd_generate_proof(args):
+    """3-party Rep3 collaborative UltraHonk proof from a split proving key
+    (co-noir.rs GenerateProof)."""
+    from ..honk import co_prover as hco
+    from ..honk import proving_key as hpk
+    from ..honk.co_driver import Rep3HonkDriver
+    from ..mpc.net.config import NetworkConfig
+    from ..mpc.rep3_scalar import AShare, HostRng
+
+    pk = _load_public_pk(args.proving_key_public)
+    data = _read_share_file(args.proving_key, _FMT_PK)
+    shared = {name: [AShare(int(a), int(b)) for a, b in entries]
+              for name, entries in data["entries"].items()}
+    crs = _load_crs(args, pk.circuit_size)
+    # VK commitments depend only on the public precomputed polynomials
+    vk = hpk.create_vk(pk, crs)
+    H = _hasher(args)
+    with phase("Establish network"):
+        net = NetworkConfig.from_toml(args.config).connect()
+    try:
+        with phase("Generate proof"):
+            seed = secrets.token_bytes(32)
+            key_next = net.reshare_backward(seed)
+            drv = Rep3HonkDriver(net, HostRng(seed, key_next))
+            proof, pub = hco.co_prove(pk, shared, vk, crs, H, drv)
+        with open(args.out, "wb") as fh:
+            fh.write(H.to_buffer(proof))
+        with open(args.public_input, "wb") as fh:
+            fh.write(H.to_buffer(pub))
+        print(f"wrote {args.out}, {args.public_input}")
+        report_net(net)
+    finally:
+        net.close()
+
+
+_FMT_PK = "cosnarks-noir-shared-pk"
+
+
 def cmd_circuit_info(args):
     art = acir.load_artifact(args.circuit)
     fn = art.functions[0]
@@ -220,6 +412,54 @@ def main(argv=None):
     p = sub.add_parser("circuit-info")
     p.add_argument("--circuit", required=True)
     p.set_defaults(fn=cmd_circuit_info)
+
+    def crs_args(p):
+        p.add_argument("--crs-g1", help="Barretenberg bn254_g1.dat "
+                       "(default: local known-tau CRS)")
+        p.add_argument("--crs-g2", help="Barretenberg bn254_g2.dat")
+        p.add_argument("--hasher", default="POSEIDON2",
+                       choices=["POSEIDON2", "KECCAK",
+                                "poseidon2", "keccak"])
+
+    p = sub.add_parser("prove", help="plain UltraHonk proof (plaindriver)")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--witness", required=True, help="nargo witness (.gz)")
+    p.add_argument("--out", required=True, help="proof output")
+    p.add_argument("--public-input", required=True)
+    p.add_argument("--vk", required=True, help="verification key output")
+    crs_args(p)
+    p.set_defaults(fn=cmd_prove)
+
+    p = sub.add_parser("create-vk")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--vk", required=True)
+    crs_args(p)
+    p.set_defaults(fn=cmd_create_vk)
+
+    p = sub.add_parser("verify")
+    p.add_argument("--proof", required=True)
+    p.add_argument("--public-input", required=True)
+    p.add_argument("--vk", required=True)
+    crs_args(p)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("split-proving-key")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--witness", required=True, help="nargo witness (.gz)")
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_split_proving_key)
+
+    p = sub.add_parser("generate-proof",
+                       help="3-party Rep3 collaborative UltraHonk proof")
+    p.add_argument("--proving-key", required=True,
+                   help="this party's pk.<i>.shared")
+    p.add_argument("--proving-key-public", required=True,
+                   help="pk_public.npz from split-proving-key")
+    p.add_argument("--config", required=True, help="network TOML")
+    p.add_argument("--out", required=True)
+    p.add_argument("--public-input", required=True)
+    crs_args(p)
+    p.set_defaults(fn=cmd_generate_proof)
 
     args = ap.parse_args(argv)
     return args.fn(args)

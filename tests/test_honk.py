@@ -237,3 +237,76 @@ def test_ultrahonk_e2e_poseidon(poseidon_setup, flavor, kat):
     bad = list(proof)
     bad[len(bad) // 2] = (bad[len(bad) // 2] + 1) % R
     assert not hverifier.verify(bad, pub, vk, crs.g2_x, H)
+
+
+def test_noir_cli_proving_pipeline(tmp_path):
+    """plaindriver prove -> verify, split-proving-key -> 3-party Rep3
+    generate-proof over TCP -> verify; the collaborative proof must be
+    byte-identical to the plain one (co-noir bin parity: Prove/CreateVK/
+    Verify/SplitProvingKey/GenerateProof)."""
+    import threading
+
+    from cosnarks_tpu.noir import cli as ncli
+
+    d = str(tmp_path)
+    kat = f"{REF}/if_then/kat"
+    ncli.main(["prove", "--circuit", f"{kat}/if_then.json",
+               "--witness", f"{kat}/if_then.gz", "--out", f"{d}/proof",
+               "--public-input", f"{d}/pub", "--vk", f"{d}/vk",
+               "--hasher", "KECCAK"])
+    assert ncli.main(["verify", "--proof", f"{d}/proof",
+                      "--public-input", f"{d}/pub", "--vk", f"{d}/vk",
+                      "--hasher", "KECCAK"]) == 0
+
+    ncli.main(["split-proving-key", "--circuit", f"{kat}/if_then.json",
+               "--witness", f"{kat}/if_then.gz", "--out-dir", d])
+    ports = [19650, 19651, 19652]
+    for k in range(3):
+        lines = [f"my_id = {k}", "insecure_plaintext = true"]
+        for j in range(3):
+            lines += ["", "[[parties]]", f"id = {j}",
+                      f'dns_name = "127.0.0.1:{ports[j]}"']
+        (tmp_path / f"party{k}.toml").write_text("\n".join(lines))
+    errs = []
+
+    def party(k):
+        try:
+            ncli.main(["generate-proof", "--proving-key",
+                       f"{d}/pk.{k}.shared", "--proving-key-public",
+                       f"{d}/pk_public.npz", "--config",
+                       f"{d}/party{k}.toml", "--hasher", "KECCAK",
+                       "--out", f"{d}/proof.{k}",
+                       "--public-input", f"{d}/pub.{k}"])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append((k, e))
+
+    threads = [threading.Thread(target=party, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs, errs
+    proofs = [open(f"{d}/proof.{k}", "rb").read() for k in range(3)]
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert proofs[0] == open(f"{d}/proof", "rb").read()
+    assert ncli.main(["verify", "--proof", f"{d}/proof.0",
+                      "--public-input", f"{d}/pub.0", "--vk", f"{d}/vk",
+                      "--hasher", "KECCAK"]) == 0
+
+
+def test_groth16_synthetic_setup_small():
+    """Synthetic snarkjs-convention trusted setup proves and verifies
+    (groth16/setup.py — the flagship 2^20 measurement path,
+    scripts/flagship_groth16.py)."""
+    from cosnarks_tpu.ff import mont
+    from cosnarks_tpu.groth16 import drivers, prove, setup
+    from cosnarks_tpu.groth16.verify import verify_bn254
+
+    zkey, w = setup.synthetic_zkey(6)
+    n_inst = zkey.n_public + 1
+    witness = prove.SharedWitness(public_inputs=w[:n_inst],
+                                  witness=mont.encode(zkey.fr, w[n_inst:]))
+    proof = prove.prove(drivers.PlainDriver(seed=7), zkey, witness)
+    vk = prove.vk_from_zkey(zkey)
+    assert verify_bn254(vk, proof, w[1:n_inst])
+    assert not verify_bn254(vk, proof, [4])

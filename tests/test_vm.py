@@ -152,3 +152,76 @@ def test_sym_wire_mapping():
     with pytest.raises(ValueError, match="not found"):
         witness.generate_witness(src, {"a": 3, "b": 11}, BN254_FR,
                                  sym_path=path)
+
+
+# -- Rep3 MPC witness-extension tier (mirrors the reference's
+# tests/tests/circom/witness_extension_tests/rep3.rs) -----------------------
+#
+# Each KAT runs as 3 party threads over LocalNetwork through the Rep3 VM
+# driver; the recombined witness is compared against the circom wtns —
+# positionally when the -O2 KAT keeps every wire, else on the stable
+# [1, outputs] prefix (the KATs ship no .sym, so the eliminated-wire
+# layout cannot be reconstructed for the remainder).
+# A small-circuit subset runs by default; the full 65-circuit corpus is
+# slow-marked (--runslow / COSNARKS_SLOW=1).
+
+REP3_FAST_KATS = [
+    "iszero", "multiplier2", "control_flow", "mimc_test", "sqrt_test",
+    "babyadd_tester", "montgomeryadd", "winner",
+]
+
+
+def _run_rep3_kat(name):
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.mpc.rep3_scalar import HostRng, Rep3Scalar
+    from cosnarks_tpu.vm import mpc_run
+    from cosnarks_tpu.vm.rep3_driver import Rep3Driver
+
+    prog = lang.load_program(
+        TESTS + name + ".circom", search_paths=[TESTS, TESTS + "libs"]
+    )
+    ran = 0
+    for i in range(3):
+        path = KATS + name + f"/input{i}.json"
+        if not os.path.exists(path):
+            continue
+        inp = json.loads(open(path).read())
+        shared = mpc_run.split_input_tree(inp, BN254_FR)
+
+        def party(k):
+            def go(net):
+                keys = [bytes([7 + j]) * 32 for j in range(3)]
+                rng = HostRng(keys[k], keys[(k + 1) % 3])
+                proto = Rep3Scalar(net, rng, BN254_FR.p)
+                driver = Rep3Driver(proto, BN254_FR)
+                vm = interp.WitnessVM(prog, BN254_FR, driver=driver)
+                main = vm.run(shared[k])
+                return (witness.witness_vector(vm, main),
+                        len(vm.main_outputs(main)))
+            return go
+
+        res = run_parties([party(0), party(1), party(2)], timeout=600.0)
+        wit = mpc_run.combine_witnesses([r[0] for r in res], BN254_FR)
+        _, w = wtns.load_wtns(KATS + name + f"/witness{i}.wtns")
+        exp = [limbs_to_int(x) for x in w]
+        if len(exp) == len(wit):
+            assert exp == wit, f"{name} input{i}: full Rep3 witness mismatch"
+        else:
+            nout = res[0][1]
+            assert wit[1:1 + nout] == exp[1:1 + nout], (
+                f"{name} input{i}: Rep3 outputs mismatch (-O2 layout)")
+        ran += 1
+    assert ran > 0
+
+
+@pytest.mark.parametrize("name", [k for k in REP3_FAST_KATS
+                                  if k in ALL_KATS])
+def test_kat_rep3_fast(name):
+    _run_rep3_kat(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [k for k in ALL_KATS
+                                  if k not in REP3_FAST_KATS])
+def test_kat_rep3_corpus(name):
+    _run_rep3_kat(name)
