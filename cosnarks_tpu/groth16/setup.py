@@ -53,9 +53,13 @@ def _batch_inv(vals, p):
     return out
 
 
-def _fixed_base_g1(spec, scalars: list[int], chunk: int = 1 << 18):
-    """[s]G for a list of standard-form scalars, batched on device."""
+def _fixed_base_g1(spec, scalars: list[int], chunk: int | None = None):
+    """[s]G for a list of standard-form scalars, batched on device.
+    Chunked to bound HBM: the double-and-add keeps ~6 Jacobian coordinate
+    temporaries live (G2's Fq2 coordinates double that again)."""
     F = spec.scalar_field
+    if chunk is None:
+        chunk = (1 << 17) if spec.ops.coord_ndim == 1 else (1 << 15)
     gen = ec.encode_points(spec, [spec.generator])
     outs = []
     for lo in range(0, len(scalars), chunk):

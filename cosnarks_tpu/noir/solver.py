@@ -124,6 +124,84 @@ class CoSolver:
                              int(args[2]), int(args[3]))
         self.witness[out] = self.d.norm(self.d.bxor(a, b))
 
+    # -- ARX hash blackboxes (blackbox_solver.rs:493-523) --------------------
+    def _hash_words(self, values, width: int):
+        """Solver values -> (ops, words, to_value) for blackbox_hash.
+        Plain values run on ints; any shared value lifts the whole call
+        into the Rep3 binary domain (mpc-core's rep3 hash path)."""
+        from . import blackbox_hash as bh
+
+        if not any(self.d.is_shared(v) for v in values):
+            return (bh.PlainWordOps(), [int(v) % self.p for v in values],
+                    lambda ws: [int(w) for w in ws])
+        pr = self.d.pr
+        from ..mpc.rep3_scalar import BShare
+
+        shares = [self.d.to_share(v) if self.d.is_shared(v)
+                  else pr.promote(int(v)) for v in values]
+        bs = pr.a2b_many(shares)
+        mask = (1 << width) - 1
+        words = [BShare(b.a & mask, b.b & mask, width) for b in bs]
+
+        def to_values(ws):
+            shared = [(i, w) for i, w in enumerate(ws)
+                      if not isinstance(w, int)]
+            out = list(ws)
+            if shared:
+                conv = pr.b2a_many([w for _, w in shared])
+                for (i, _), v in zip(shared, conv):
+                    out[i] = v
+            return out
+
+        return bh.Rep3WordOps(pr), words, to_values
+
+    def _bb_sha256compression(self, args):
+        from . import blackbox_hash as bh
+
+        inputs = [self._in(v) for v in args[0]]
+        state = [self._in(v) for v in args[1]]
+        outs = [int(w) for w in args[2]]
+        ops, words, to_values = self._hash_words(state + inputs, 32)
+        res = to_values(bh.sha256_compression(ops, words[:8], words[8:]))
+        for w, v in zip(outs, res):
+            self.witness[w] = self.d.norm(v)
+
+    def _bb_blake2s(self, args):
+        from . import blackbox_hash as bh
+
+        inputs = [self._in(v) for v in args[0]]
+        outs = [int(w) for w in args[1]]
+        ops, words, to_values = self._hash_words(inputs, 8)
+        res = to_values(bh.blake2s(ops, words))
+        for w, v in zip(outs, res):
+            self.witness[w] = self.d.norm(v)
+
+    def _bb_blake3(self, args):
+        from . import blackbox_hash as bh
+
+        inputs = [self._in(v) for v in args[0]]
+        outs = [int(w) for w in args[1]]
+        ops, words, to_values = self._hash_words(inputs, 8)
+        res = to_values(bh.blake3(ops, words))
+        for w, v in zip(outs, res):
+            self.witness[w] = self.d.norm(v)
+
+    def _bb_aes128encrypt(self, args):
+        from . import blackbox_hash as bh
+
+        inputs = [self._in(v) for v in args[0]]
+        iv = [self._in(v) for v in args[1]]
+        key = [self._in(v) for v in args[2]]
+        outs = [int(w) for w in args[3]]
+        if any(self.d.is_shared(v) for v in inputs + iv + key):
+            raise UnsolvableError(
+                "shared AES128Encrypt needs the GC/LUT S-box path")
+        res = bh.aes128_encrypt_cbc([int(v) % self.p for v in inputs],
+                                    [int(v) % self.p for v in iv],
+                                    [int(v) % self.p for v in key])
+        for w, v in zip(outs, res):
+            self.witness[w] = self.d.norm(v)
+
     def _bb_poseidon2permutation(self, args):
         inputs = [self._in(v) for v in args[0]]
         outs = [int(w) for w in args[1]]

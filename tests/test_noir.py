@@ -33,6 +33,9 @@ PROGRAMS = [
     "quantized",
     "random_access",
     "recursion",
+    "bb_sha256_compression",
+    "blake2s",
+    "blake3",
     pytest.param("recursion_zk", marks=pytest.mark.xfail(
         reason="shipped Prover.toml is stale vs its KAT witness stack "
                "(raw input values differ)")),
@@ -44,9 +47,10 @@ PROGRAMS = [
     "write_access",
 ]
 
-# Grumpkin blackboxes solve plain-side only so far (shared EC pointshare
-# gadgets land with the coNoir proof stack)
-PLAIN_ONLY = ["embedded_curve_add", "pedersen_commitment", "pedersen_hash"]
+# Grumpkin blackboxes and AES (table S-boxes need the GC/LUT path) solve
+# plain-side only so far
+PLAIN_ONLY = ["embedded_curve_add", "pedersen_commitment", "pedersen_hash",
+              "aes128"]
 
 
 def _load(name):
