@@ -417,8 +417,10 @@ class Rep3Scalar:
         ys = self._binary_sub_p_many(xs, bitlen)
         ovs = []
         for y in ys:
-            ov_a = mask if (y.a >> bitlen) & 1 else 0
-            ov_b = mask if (y.b >> bitlen) & 1 else 0
+            # branchless bit-spread (also keeps this elementwise for the
+            # batched driver, where components are numpy object vectors)
+            ov_a = ((y.a >> bitlen) & 1) * mask
+            ov_b = ((y.b >> bitlen) & 1) * mask
             ovs.append(BShare(ov_a, ov_b))
         ys = [self.band_public(y, mask) for y in ys]
         xs = [self.band_public(x, mask) for x in xs]

@@ -442,7 +442,9 @@ class Rep3Driver:
         self._deferred = []
         rs = [self.pr.rand() for _ in diffs]
         vals = self.pr.mul_open_many(diffs, rs)
-        bad = [ctxs[i] for i, v in enumerate(vals) if v != 0]
+        import numpy as _np
+
+        bad = [ctxs[i] for i, v in enumerate(vals) if bool(_np.any(v != 0))]
         if bad:
             raise CircomError(
                 f"constraint violated{bad[0]} (on shared values; "
@@ -452,7 +454,11 @@ class Rep3Driver:
     def assert_true(self, c, ctx=""):
         if not self.is_shared(c):
             return self._plain.assert_true(c, ctx)
-        if self.pr.is_zero_open(self._arith(c)):
+        import numpy as _np
+
+        # is_zero_open returns a bool (scalar driver) or a bool vector
+        # (batched driver); any zero lane fails the assert
+        if bool(_np.any(self.pr.is_zero_open(self._arith(c)))):
             raise CircomError(f"assert failed{ctx} (on shared value)")
 
 

@@ -225,3 +225,53 @@ def test_kat_rep3_fast(name):
                                   if k not in REP3_FAST_KATS])
 def test_kat_rep3_corpus(name):
     _run_rep3_kat(name)
+
+
+# -- batched Rep3 driver (B lanes per protocol round) ------------------------
+
+BATCHED_KATS = ["mimc_test", "iszero", "sqrt_test", "control_flow",
+                "babyadd_tester"]
+
+
+@pytest.mark.parametrize("name", [k for k in BATCHED_KATS if k in ALL_KATS])
+def test_kat_rep3_batched(name):
+    """B-lane batched Rep3 witness extension vs the plain VM per lane
+    (vm/rep3_batched.py; amortizes one network round across all lanes)."""
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.vm.rep3_batched import (
+        BatchedHostRng, BatchedRep3Driver, BatchedRep3Scalar,
+        combine_witnesses_batch, split_input_batch)
+
+    B = 5
+    prog = lang.load_program(
+        TESTS + name + ".circom", search_paths=[TESTS, TESTS + "libs"]
+    )
+    avail = []
+    for i in range(8):
+        path = KATS + name + f"/input{i}.json"
+        if os.path.exists(path):
+            avail.append(json.loads(open(path).read()))
+    lane_inputs = [avail[L % len(avail)] for L in range(B)]
+
+    plain_wits = []
+    for inp in lane_inputs:
+        vm = interp.WitnessVM(prog, BN254_FR)
+        plain_wits.append(witness.witness_vector(vm, vm.run(inp)))
+
+    shared = split_input_batch(lane_inputs, BN254_FR)
+
+    def party(k):
+        def go(net):
+            keys = [bytes([7 + j]) * 32 for j in range(3)]
+            rng = BatchedHostRng(keys[k], keys[(k + 1) % 3], B)
+            proto = BatchedRep3Scalar(net, rng, BN254_FR.p)
+            driver = BatchedRep3Driver(proto, BN254_FR)
+            vm = interp.WitnessVM(prog, BN254_FR, driver=driver)
+            return witness.witness_vector(vm, vm.run(shared[k]))
+
+        return go
+
+    res = run_parties([party(0), party(1), party(2)], timeout=600.0)
+    wits = combine_witnesses_batch(res, BN254_FR, B)
+    for L in range(B):
+        assert wits[L] == plain_wits[L], f"lane {L} mismatch"
