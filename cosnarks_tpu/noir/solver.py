@@ -302,7 +302,21 @@ class CoSolver:
         block = self.memory[block_id]
         is_read = int(op) == 0
         if d.is_shared(idx):
-            # shared-index access through a one-hot vector (lut.rs:12-71)
+            prov = getattr(d, "lut_provider", None)
+            if prov is not None:
+                # binary OHV-LUT gadget (mpc/lut.py; rep3_ring/lut_field.rs)
+                block = [d.norm(v) for v in block]
+                if is_read:
+                    if (len(value.lin) == 1 and not value.mul
+                            and value.qc == 0 and value.lin[0][0] == 1):
+                        self.witness[value.lin[0][1]] = d.norm(
+                            prov.read(idx, block))
+                        return
+                    raise UnsolvableError("complex memory read expression")
+                new = d.norm(self._eval_expr(value))
+                self.memory[block_id] = prov.write(idx, new, block)
+                return
+            # arithmetic one-hot fallback (batched driver)
             ohv = self._ohv(idx, len(block))[: len(block)]
             if is_read:
                 prods = d.mul_many(ohv, block)

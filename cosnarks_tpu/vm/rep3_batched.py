@@ -209,6 +209,11 @@ class BatchedRep3Driver(Rep3Driver):
     (constants are lane-uniform by construction); opened values come back
     as lane vectors and may only steer control flow when all lanes agree."""
 
+    # the OHV-LUT gadget branches on local share bits, which have no
+    # elementwise analogue; batched runs use the solver's arithmetic
+    # one-hot fallback instead
+    lut_provider = None
+
     def __init__(self, proto: BatchedRep3Scalar, field: Field,
                  allow_leaky_logs: bool = False):
         super().__init__(proto, field, allow_leaky_logs)

@@ -42,6 +42,17 @@ class Rep3Driver:
         self._deferred: list = []  # (diff share, ctx) pending `===` checks
         self._acache: dict = {}  # id(BShare) -> (BShare, AShare)
         self._bcache: dict = {}  # id(AShare) -> (AShare, BShare)
+        self._lut = None
+
+    @property
+    def lut_provider(self):
+        """Oblivious LUT access for shared-index memory ops (reference
+        LookupTableProvider, mpc-core/src/lut.rs:12-71)."""
+        if self._lut is None:
+            from ..mpc.lut import Rep3LookupTableProvider
+
+            self._lut = Rep3LookupTableProvider(self.pr)
+        return self._lut
 
     # -- domain plumbing -----------------------------------------------------
     def is_shared(self, x) -> bool:
