@@ -24,6 +24,7 @@ per query array — and the whole zkey can be cached to disk.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -53,21 +54,78 @@ def _batch_inv(vals, p):
     return out
 
 
+_FB_W = 8  # fixed-base window width (bits); 16-bit limbs split evenly
+
+
+_fb_tables: dict = {}
+
+
+def _fixed_base_table(spec):
+    """Windowed fixed-base table T[j][d] = [d * 2^(8j)] G (Jacobian, on
+    device): one batched 256-bit double-and-add over nwin*255 lanes, then
+    every later [s]G costs nwin-1 complete adds instead of a full
+    double-and-add chain. d = 0 rows are the point at infinity (Z = 0),
+    which the complete `add` absorbs."""
+    key = id(spec)
+    if key in _fb_tables:
+        return _fb_tables[key]
+    F = spec.scalar_field
+    nwin = F.nlimbs * 16 // _FB_W
+    ds = [(d << (_FB_W * j)) % F.p
+          for j in range(nwin) for d in range(1, 1 << _FB_W)]
+    ks = jnp.asarray(ints_to_limbs(ds, F.nlimbs))
+    gen = ec.encode_points(spec, [spec.generator])
+    g = tuple(jnp.broadcast_to(x[0], (ks.shape[0],) + x.shape[1:])
+              for x in gen)
+    pts = ec.scalar_mul(spec, g, ks)
+    # prepend the infinity row per window: table shape (nwin, 256, ...)
+    full = []
+    for c, x in enumerate(pts):
+        arr = np.asarray(jax.device_get(x)).reshape(
+            (nwin, (1 << _FB_W) - 1) + x.shape[1:])
+        z = np.zeros((nwin, 1) + x.shape[1:], arr.dtype)  # (0,0,0) = inf
+        full.append(jnp.asarray(np.concatenate([z, arr], axis=1)))
+    table = tuple(full)
+    _fb_tables[key] = table
+    return table
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fb_chunk(spec, table, digits):
+    """Sum of table windows selected by per-scalar digits: (n, nwin)
+    uint32 -> n Jacobian points, nwin-1 complete adds."""
+    nwin = digits.shape[1]
+    acc = tuple(x[0][digits[:, 0]] for x in table)
+    for j in range(1, nwin):
+        q = tuple(x[j][digits[:, j]] for x in table)
+        acc = ec.add(spec, acc, q)
+    return ec.to_affine(spec, acc)
+
+
 def _fixed_base_g1(spec, scalars: list[int], chunk: int | None = None):
-    """[s]G for a list of standard-form scalars, batched on device.
-    Chunked to bound HBM: the double-and-add keeps ~6 Jacobian coordinate
-    temporaries live (G2's Fq2 coordinates double that again)."""
+    """[s]G for a list of standard-form scalars, batched on device via the
+    windowed table. Chunked to bound HBM (G2's Fq2 coordinates double the
+    footprint)."""
     F = spec.scalar_field
     if chunk is None:
         chunk = (1 << 17) if spec.ops.coord_ndim == 1 else (1 << 15)
-    gen = ec.encode_points(spec, [spec.generator])
-    outs = []
-    for lo in range(0, len(scalars), chunk):
-        ks = jnp.asarray(ints_to_limbs(
-            [s % F.p for s in scalars[lo:lo + chunk]], F.nlimbs))
+    if len(scalars) <= 2048 and id(spec) not in _fb_tables:
+        # below the table's amortization point: direct double-and-add
+        gen = ec.encode_points(spec, [spec.generator])
+        ks = jnp.asarray(ints_to_limbs([s % F.p for s in scalars],
+                                       F.nlimbs))
         g = tuple(jnp.broadcast_to(x[0], (ks.shape[0],) + x.shape[1:])
                   for x in gen)
         pts = ec.to_affine(spec, ec.scalar_mul(spec, g, ks))
+        return tuple(np.asarray(jax.device_get(x)) for x in pts)
+    table = _fixed_base_table(spec)
+    outs = []
+    for lo in range(0, len(scalars), chunk):
+        limbs = np.asarray(ints_to_limbs(
+            [s % F.p for s in scalars[lo:lo + chunk]], F.nlimbs))
+        digits = np.stack([limbs & 255, limbs >> 8], axis=-1).reshape(
+            limbs.shape[0], -1).astype(np.uint32)
+        pts = _fb_chunk(spec, table, jnp.asarray(digits))
         outs.append(tuple(np.asarray(jax.device_get(x)) for x in pts))
     return tuple(np.concatenate([o[i] for o in outs]) for i in range(3))
 
