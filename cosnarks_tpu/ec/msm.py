@@ -424,11 +424,25 @@ def msm(spec: CurveSpec, points, scalars_std, c: int | None = None,
         chunk: int | None = None):
     """MSM of device Jacobian `points` (leading axis N, affine-or-infinity:
     Z in {0, 1}) with standard-form scalar limb arrays (N, nlimbs).
-    Returns a single Jacobian point. `chunk` is accepted for backward
-    compatibility and ignored."""
+    Returns a single Jacobian point. `chunk` bounds the number of points
+    per Pippenger dispatch: the level-0 accumulation's dense run buffers
+    scale with N x windows x coords, which exhausts HBM for G2 (Fq2) at
+    2^20 points — chunks split the sum and combine with complete adds."""
     N = points[0].shape[0]
     if N <= 64:
         return _msm_small(spec, points, scalars_std)
+    if chunk is None and spec.ops.coord_ndim > 1:
+        chunk = 1 << 18  # G2 default: bound the dense bucket buffers
+    if chunk is not None and N > chunk:
+        from . import curve as _ec
+
+        acc = None
+        for lo in range(0, N, chunk):
+            part = msm(spec,
+                       tuple(x[lo:lo + chunk] for x in points),
+                       scalars_std[lo:lo + chunk], c=c, chunk=None)
+            acc = part if acc is None else _ec.add(spec, acc, part)
+        return acc
     if c is None:
         c = default_window(N)
     return _pippenger_signed(spec, points, scalars_std, c)

@@ -58,6 +58,16 @@ class Network(abc.ABC):
             p: self.recv(p) for p in range(self.n_parties) if p != self.id
         }
 
+    def channels(self, n: int) -> list["Network"]:
+        """n independent logical sub-networks over this transport for
+        CONCURRENT protocol rounds (reference TcpNetwork::networks::<N>,
+        mpc-net/src/lib.rs:139-308; used by co-plonk's 8-net round1,
+        co-plonk/src/round1.rs:19). Views use channels 1..n, leaving the
+        default stream (channel 0) to the caller; message order is
+        preserved per (peer, channel) but not across channels. Transports
+        raise if they were not provisioned with enough connections."""
+        return [ChannelView(self, i + 1) for i in range(n)]
+
     def stats(self) -> dict:
         """Per-peer byte counters (ConnectionStats, mpc-net/src/lib.rs:88)."""
         return getattr(self, "_stats", {})
@@ -66,6 +76,51 @@ class Network(abc.ABC):
         st = self.__dict__.setdefault("_stats", {})
         key = (peer, "sent" if sent else "recv")
         st[key] = st.get(key, 0) + nbytes
+
+
+class ChannelView(Network):
+    """Fixed-channel view over a multi-connection transport. The wrapped
+    network's send/recv must accept a `chan` keyword."""
+
+    def __init__(self, net: Network, chan: int):
+        self._net = net
+        self._chan = chan
+        self.id = net.id
+        self.n_parties = net.n_parties
+
+    def send(self, to: int, msg) -> None:
+        self._net.send(to, msg, chan=self._chan)
+
+    def recv(self, frm: int):
+        return self._net.recv(frm, chan=self._chan)
+
+
+def join(*thunks):
+    """Run independent protocol closures concurrently, one thread each
+    (reference mpc_net::join / join8, mpc-net/src/lib.rs:139-308). Each
+    closure must use its OWN channel/rng fork; returns results in order,
+    re-raising the first failure."""
+    import threading
+
+    results = [None] * len(thunks)
+    errors = [None] * len(thunks)
+
+    def runner(i):
+        try:
+            results[i] = thunks[i]()
+        except BaseException as e:  # noqa: BLE001 - surface to caller
+            errors[i] = e
+
+    ts = [threading.Thread(target=runner, args=(i,))
+          for i in range(len(thunks))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for e in errors:
+        if e is not None:
+            raise e
+    return results
 
 
 def to_wire(msg) -> bytes:

@@ -14,28 +14,34 @@ import threading
 from .base import Network
 
 
+N_CHANNELS = 9  # default stream + 8 concurrent-round channels (join8)
+
+
 class LocalNetwork(Network):
     def __init__(self, my_id: int, n_parties: int, mailboxes):
         self.id = my_id
         self.n_parties = n_parties
-        self._mailboxes = mailboxes  # mailboxes[receiver][sender] -> Queue
+        # mailboxes[chan][receiver][sender] -> Queue
+        self._mailboxes = mailboxes
 
     @classmethod
     def make(cls, n_parties: int, timeout: float = 120.0):
         mailboxes = [
-            [queue.Queue() for _ in range(n_parties)] for _ in range(n_parties)
+            [[queue.Queue() for _ in range(n_parties)]
+             for _ in range(n_parties)]
+            for _ in range(N_CHANNELS)
         ]
         nets = [cls(i, n_parties, mailboxes) for i in range(n_parties)]
         for n in nets:
             n._timeout = timeout
         return nets
 
-    def send(self, to: int, msg) -> None:
-        self._mailboxes[to][self.id].put(msg)
+    def send(self, to: int, msg, chan: int = 0) -> None:
+        self._mailboxes[chan][to][self.id].put(msg)
 
-    def recv(self, frm: int):
+    def recv(self, frm: int, chan: int = 0):
         try:
-            return self._mailboxes[self.id][frm].get(
+            return self._mailboxes[chan][self.id][frm].get(
                 timeout=getattr(self, "_timeout", 120.0)
             )
         except queue.Empty:

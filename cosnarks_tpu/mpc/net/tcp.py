@@ -107,6 +107,24 @@ class TcpNetwork(Network):
             raise ConnectionError(f"peer {frm} closed connection")
         return msg
 
+    def channels(self, n: int):
+        """Concurrent-round channel views (Network.channels). Requires a
+        mesh formed with n_conns >= n + 1 and no duplex split (the split
+        multiplexes both sockets into one logical stream)."""
+        if self.duplex_split:
+            raise ValueError(
+                "concurrent channels need form_mesh(n_conns > 1) without "
+                "duplex_split"
+            )
+        for i in range(1, n + 1):
+            for p in range(self.n_parties):
+                if p != self.id and (p, i) not in self._inbox:
+                    raise ValueError(
+                        f"mesh has no channel {i} to peer {p}; form it "
+                        f"with n_conns >= {n + 1}"
+                    )
+        return super().channels(n)
+
     def close(self):
         self._alive = False
         for s in self._socks.values():

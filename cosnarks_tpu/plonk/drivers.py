@@ -111,6 +111,14 @@ class Rep3PlonkDriver:
         self.state = state
         self.id = net.id
 
+    def fork_channels(self, n: int) -> list["Rep3PlonkDriver"]:
+        """n drivers over independent network channels + forked rng
+        substreams, for concurrent protocol rounds (reference forks state
+        per net in co-plonk's joined rounds, round1.rs:19). All parties
+        must fork identically (same count, same order)."""
+        return [Rep3PlonkDriver(self.field, ch, self.state.fork())
+                for ch in self.net.channels(n)]
+
     def promote(self, pub):
         return rep3.promote_public(self.field, pub, self.id)
 
@@ -174,6 +182,11 @@ class ShamirPlonkDriver:
         self.net = net
         self.state = state
         self.id = net.id
+
+    def fork_channels(self, n: int) -> list["ShamirPlonkDriver"]:
+        """See Rep3PlonkDriver.fork_channels."""
+        return [ShamirPlonkDriver(self.field, ch, self.state.fork())
+                for ch in self.net.channels(n)]
 
     def promote(self, pub):
         return pub  # constant poly share

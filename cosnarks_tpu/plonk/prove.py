@@ -324,8 +324,27 @@ def prove(zk: PlonkZkey, drv, public_ints: list[int], witness_share,
     d3 = drv.add_public(
         buf_c, mont.add(fr, mont.mul(fr, beta_m, s3_sub), gamma_m))
 
-    num = _array_prod_mul(drv, fr, False, n1, n2, n3)
-    den = _array_prod_mul(drv, fr, True, d1, d2, d3)
+    # numerator and denominator prefix-product chains are independent
+    # multi-round protocols: overlap them on two channels when the driver
+    # supports it (reference joins rounds over parallel nets, round1.rs:19)
+    fork = getattr(drv, "fork_channels", None)
+    pair = None
+    if fork is not None:
+        try:
+            pair = fork(2)
+        except ValueError:
+            pair = None  # transport lacks extra channels: run sequentially
+    if pair is not None:
+        from ..mpc.net.base import join
+
+        d_num, d_den = pair
+        num, den = join(
+            lambda: _array_prod_mul(d_num, fr, False, n1, n2, n3),
+            lambda: _array_prod_mul(d_den, fr, True, d1, d2, d3),
+        )
+    else:
+        num = _array_prod_mul(drv, fr, False, n1, n2, n3)
+        den = _array_prod_mul(drv, fr, True, d1, d2, d3)
     buffer_z = drv.mul(num, den)
     buffer_z = _zipc(drv, lambda a: jnp.roll(a, 1, axis=0), buffer_z)
 

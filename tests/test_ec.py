@@ -112,3 +112,21 @@ def test_msm_duplicate_points_and_scalars(rng):
     )[0]
     exp = hc.affine_ints(hc.mul(hc.lift_affine(p), 64))
     assert got == exp
+
+
+@pytest.mark.parametrize("n,c", [(128, 4), (256, 8), (200, None)])
+def test_msm_pippenger_path(rng, n, c):
+    """Covers the signed-digit Pippenger path (N > 64 bypasses _msm_small),
+    including a non-multiple-of-CHUNK_K size and the default window."""
+    spec = BN254_G1
+    hc = host.host_curve(spec)
+    pts = random_affines(rng, spec, n)
+    scalars = [rng.randrange(spec.scalar_field.p) for _ in range(n - 2)]
+    scalars += [0, spec.scalar_field.p - 1]
+    P = ec.encode_points(spec, pts)
+    s = mont.encode(spec.scalar_field, scalars, mont=False)
+    got = ec.decode_points(
+        spec, tuple(x[None] for x in msm.msm(spec, P, s, c=c))
+    )[0]
+    exp = hc.affine_ints(hc.msm([hc.lift_affine(p) for p in pts], scalars))
+    assert got == exp

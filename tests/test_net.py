@@ -148,3 +148,97 @@ def test_tls_rejects_wrong_identity(tmp_path):
         pass
     t.join(12)
     assert failed, "mesh accepted a peer with a mismatched certificate"
+
+
+def test_concurrent_channels_hide_latency():
+    """VERDICT acceptance for concurrent rounds: two independent
+    multi-round protocol chains over separate channels + join() take
+    ~half the wall-time of running them back-to-back when per-message
+    latency dominates (reference mpc_net::join over multi-connection
+    meshes, mpc-net/src/lib.rs:139-308)."""
+    import time
+
+    from cosnarks_tpu.mpc.net.base import join
+    from cosnarks_tpu.mpc.net.local import LocalNetwork, run_parties
+
+    delay, rounds = 0.004, 10
+
+    class Delayed:
+        def __init__(self, net):
+            self._net = net
+            self.id = net.id
+            self.n_parties = net.n_parties
+
+        def send(self, to, msg, chan=0):
+            time.sleep(delay)  # injected wire latency
+            self._net.send(to, msg, chan=chan)
+
+        def recv(self, frm, chan=0):
+            return self._net.recv(frm, chan=chan)
+
+        channels = LocalNetwork.channels
+        reshare = LocalNetwork.reshare
+        next_id = LocalNetwork.next_id
+        prev_id = LocalNetwork.prev_id
+
+    def chain(net, x):
+        for _ in range(rounds):
+            x = net.reshare(x)
+        return x
+
+    def party(raw):
+        net = Delayed(raw)
+        c1, c2 = net.channels(2)
+        t0 = time.monotonic()
+        a = chain(c1, net.id)
+        b = chain(c2, net.id + 10)
+        t_seq = time.monotonic() - t0
+        t0 = time.monotonic()
+        a2, b2 = join(lambda: chain(c1, net.id),
+                      lambda: chain(c2, net.id + 10))
+        t_par = time.monotonic() - t0
+        assert (a, b) == (a2, b2)
+        return t_seq, t_par
+
+    res = run_parties([party] * 3)
+    t_seq = max(r[0] for r in res)
+    t_par = max(r[1] for r in res)
+    assert t_par < 0.75 * t_seq, (t_seq, t_par)
+
+
+def test_tcp_session_handler():
+    """Ephemeral sessions (net/tcp_session.py; reference tcp_session.rs):
+    one bound handler per party mints independent meshes per session id —
+    two sequential sessions exchange correctly, including out-of-order
+    initialization across parties."""
+    import threading
+
+    from cosnarks_tpu.mpc.net.tcp_session import TcpSessionHandler
+
+    addrs = [("127.0.0.1", 18860 + i) for i in range(3)]
+    results = {}
+    errs = []
+
+    def party(i):
+        try:
+            h = TcpSessionHandler(i, addrs, timeout=20.0)
+            out = []
+            for sid in (b"job-A", b"job-B"):
+                net = h.init_session(sid)
+                got = net.reshare((i, sid))  # ring round on the session
+                out.append(got)
+                net.close()
+            results[i] = out
+            h.close()
+        except Exception as e:  # noqa: BLE001
+            errs.append((i, e))
+
+    ts = [threading.Thread(target=party, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert not errs, errs
+    for i in range(3):
+        assert results[i][0] == ((i - 1) % 3, b"job-A")
+        assert results[i][1] == ((i - 1) % 3, b"job-B")
