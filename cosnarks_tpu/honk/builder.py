@@ -338,10 +338,24 @@ class RangeList:
 
 
 class UltraBuilder:
-    """Plain UltraCircuitBuilder (ultra_builder.rs GenericUltraCircuitBuilder
-    with the PlainAcvmSolver driver)."""
+    """UltraCircuitBuilder, generic over the witness-value driver
+    (ultra_builder.rs GenericUltraCircuitBuilder<P, T>): with the default
+    plain driver, variable values are ints mod r (PlainAcvmSolver); with
+    the Rep3 VM driver, values are replicated shares and every product /
+    decomposition / sort the builder performs to synthesize intermediate
+    witnesses runs as an MPC round — the witness never leaves the share
+    domain (the reference's co-builder, co-builder/src/ultra_builder.rs).
+    Gate STRUCTURE (indices, selectors, tags) is value-independent, so all
+    parties deterministically build identical traces."""
 
-    def __init__(self):
+    def __init__(self, driver=None):
+        if driver is None:
+            from ..ff.spec import BN254_FR
+            from ..vm.interp import PlainDriver
+
+            driver = PlainDriver(BN254_FR)
+        assert driver.p == R, "builder driver must be over the bn254 fr"
+        self.d = driver
         self.variables: list[int] = []
         self.next_var_index: list[int] = []
         self.prev_var_index: list[int] = []
@@ -366,9 +380,9 @@ class UltraBuilder:
         self.ram_arrays: list = []
 
     # -- variables ----------------------------------------------------------
-    def add_variable(self, value: int) -> int:
+    def add_variable(self, value) -> int:
         idx = len(self.variables)
-        self.variables.append(value % R)
+        self.variables.append(self.d.norm(value))
         self.real_variable_index.append(idx)
         self.next_var_index.append(REAL_VARIABLE)
         self.prev_var_index.append(FIRST_IN_CLASS)
@@ -384,7 +398,9 @@ class UltraBuilder:
         return idx
 
     def put_constant_variable(self, value: int) -> int:
-        value %= R
+        if self.d.is_shared(value):
+            raise ValueError("constants must be public")
+        value = int(value) % R
         if value in self.constant_variable_indices:
             return self.constant_variable_indices[value]
         idx = self.add_variable(value)
@@ -488,6 +504,7 @@ class UltraBuilder:
     def create_big_quad_constraint(self, gates: list[MulQuad]):
         gates = [dataclasses.replace(g) for g in gates]
         num_products = len(gates) - 1
+        d = self.d
         for j in range(num_products):
             g = gates[j]
             assert g.a != IS_CONSTANT
@@ -499,14 +516,17 @@ class UltraBuilder:
                     assert getattr(g, attr + "_scaling") % R == 0
                     setattr(g, attr, self.zero_idx)
             self.create_big_mul_add_gate(g, True)
-            prod = self.get_variable(g.a) * self.get_variable(g.b) % R
-            nxt = (g.const_scaling + g.mul_scaling * prod
-                   + g.a_scaling * self.get_variable(g.a)
-                   + g.b_scaling * self.get_variable(g.b)
-                   + g.c_scaling * self.get_variable(g.c)
-                   + g.d_scaling * self.get_variable(g.d)) % R
-            nxt = -nxt % R
-            next_idx = self.add_variable(nxt)
+            prod = d.mul(self.get_variable(g.a), self.get_variable(g.b))
+            nxt = d.add(
+                d.add(
+                    d.add(g.const_scaling, d.mul(g.mul_scaling, prod)),
+                    d.add(d.mul(g.a_scaling, self.get_variable(g.a)),
+                          d.mul(g.b_scaling, self.get_variable(g.b))),
+                ),
+                d.add(d.mul(g.c_scaling, self.get_variable(g.c)),
+                      d.mul(g.d_scaling, self.get_variable(g.d))),
+            )
+            next_idx = self.add_variable(d.neg(nxt))
             gates[j + 1].d = next_idx
             gates[j + 1].d_scaling = -1 % R
         last = gates[-1]
@@ -553,12 +573,17 @@ class UltraBuilder:
 
     # -- construction entry --------------------------------------------------
     @classmethod
-    def create_circuit(cls, af: AcirFormat, witness: list[int]) -> "UltraBuilder":
+    def create_circuit(cls, af: AcirFormat, witness: list,
+                       driver=None) -> "UltraBuilder":
+        """Build the trace from ACIR + witness values. With `driver` set
+        to a Rep3 VM driver, `witness` entries may be replicated shares
+        and the build runs as MPC (the reference's co-builder
+        create_circuit, co-builder/src/lib.rs:4040)."""
         if af.unsupported:
             raise NotImplementedError(
                 f"ACIR features not yet supported by the builder: "
                 f"{sorted(set(af.unsupported))}")
-        b = cls()
+        b = cls(driver)
         witness = list(witness) + [0] * (af.max_witness_index + 1 - len(witness))
         for w in witness:
             b.add_variable(w)

@@ -228,6 +228,10 @@ def plookup_read_pair(builder: UltraBuilder, multi_id: str, key_a_index: int,
     multi = MULTI_TABLES[multi_id]()
     key_a = builder.get_variable(key_a_index)
     key_b = builder.get_variable(key_b_index) if key_b_index is not None else 0
+    if builder.d.is_shared(key_a) or builder.d.is_shared(key_b):
+        raise NotImplementedError(
+            "plookup on shared keys needs the OHV-LUT read path (staged; "
+            "reference co-builder/src/types/plookup.rs)")
     columns, entries = get_lookup_accumulators(builder, multi, key_a, key_b,
                                                is_2_to_1)
     return create_gates_from_plookup_accumulators(
@@ -335,6 +339,11 @@ def read_rom_array(builder: UltraBuilder, rom_id: int,
     """ultra_builder.rs read_rom_array (plain)."""
     b = builder
     idx = b.get_variable(index_witness)
+    if b.d.is_shared(idx):
+        raise NotImplementedError(
+            "ROM reads at shared indices need the OHV-LUT gadget in the "
+            "builder (staged; rom_ram.rs shared path)")
+    idx = int(idx)
     state = b.rom_arrays[rom_id].state
     assert idx < len(state) and state[idx][0] != UNINIT
     value = b.get_variable(state[idx][0])
@@ -382,6 +391,24 @@ def process_ram_arrays(builder: UltraBuilder):
         raise NotImplementedError("RAM arrays not yet implemented")
 
 
+def _sorted_values(builder, vals, bits):
+    """Ascending sort of range-list values: python sort when everything is
+    public, the oblivious radix sort over share values otherwise (the
+    reference routes this through the rep3_ring sort gadget when building
+    from a shared witness)."""
+    d = builder.d
+    if not any(d.is_shared(v) for v in vals):
+        return sorted(int(v) for v in vals)
+    from ..mpc.rep3_ring import Rep3Ring, radix_sort_fields
+
+    ring = getattr(builder, "_sort_ring", None)
+    if ring is None:
+        ring = Rep3Ring(d.pr.net, d.pr.rng, 32)
+        builder._sort_ring = ring
+    priv = [d.to_share(v) for v in vals]
+    return radix_sort_fields(d.pr, ring, priv, [], bits)
+
+
 def process_range_lists(builder: UltraBuilder):
     """ultra_builder.rs process_range_lists + process_range_list (plain):
     sort each range list's values, tag the sorted copies with tau, and
@@ -392,7 +419,9 @@ def process_range_lists(builder: UltraBuilder):
         lst = builder.range_lists[target_range]
         idxs = sorted({builder.real_variable_index[i]
                        for i in lst.variable_indices})
-        sorted_vals = sorted(builder.variables[i] for i in idxs)
+        sorted_vals = _sorted_values(
+            builder, [builder.variables[i] for i in idxs],
+            max(1, lst.target_range.bit_length()))
         padding = (4 - (len(idxs) % 4)) % 4
         if len(idxs) <= 4:
             padding += 4
@@ -516,10 +545,22 @@ def create_limbed_range_constraint(builder: UltraBuilder, variable_index: int,
     last_limb_range = (1 << (num_bits % limb_bits)) - 1
 
     sublimbs = []
-    acc = val
-    for _ in range(num_limbs):
-        sublimbs.append(acc & sublimb_mask)
-        acc >>= limb_bits
+    if b.d.is_shared(val):
+        # shared decompose: one binary decomposition (A2B + bit-inject),
+        # limbs recomposed locally (co-builder decompose over T::AcvmType)
+        bits = b.d.num2bits(val, num_bits)
+        for i in range(num_limbs):
+            limb = 0
+            for k in range(limb_bits):
+                j = i * limb_bits + k
+                if j < num_bits:
+                    limb = b.d.add(limb, b.d.mul(1 << k, bits[j]))
+            sublimbs.append(limb)
+    else:
+        acc = val
+        for _ in range(num_limbs):
+            sublimbs.append(acc & sublimb_mask)
+            acc >>= limb_bits
     sublimb_indices = []
     for i, s in enumerate(sublimbs):
         idx = b.add_variable(s)
@@ -541,8 +582,11 @@ def create_limbed_range_constraint(builder: UltraBuilder, variable_index: int,
         vals = [sublimbs[3 * i + k] if real[k] else 0 for k in range(3)]
         shifts = [pow(2, limb_bits * (3 * i + k), R) if limb_bits * (3 * i + k) < 256
                   else 0 for k in range(3)]
-        subtrahend = sum(s * v for s, v in zip(shifts, vals)) % R
-        new_acc = (accumulator - subtrahend) % R
+        d = b.d
+        subtrahend = d.add(d.add(d.mul(shifts[0], vals[0]),
+                                 d.mul(shifts[1], vals[1])),
+                           d.mul(shifts[2], vals[2]))
+        new_acc = d.sub(accumulator, subtrahend)
         b.create_big_add_gate(limbs[0], limbs[1], limbs[2], accumulator_idx,
                               shifts[0], shifts[1], shifts[2], -1 % R, 0,
                               include_next_gate_w_4=(i != num_triples - 1))
@@ -568,6 +612,9 @@ def _logic_inner(b, a, bb, num_bits: int, is_xor: bool):
     from .field_ct import FieldCT
 
     assert 0 < num_bits < 254
+    if b.d.is_shared(a.get_value(b)) or b.d.is_shared(bb.get_value(b)):
+        raise NotImplementedError(
+            "logic gates on shared witnesses need shared plookup (staged)")
     op = (lambda x, y: x ^ y) if is_xor else (lambda x, y: x & y)
     if a.is_constant() and bb.is_constant():
         av, bv = a.get_value(b), bb.get_value(b)
@@ -612,7 +659,7 @@ def create_poseidon2_permutation(builder: UltraBuilder, pc):
     the next trace row via shifts)."""
     from ..gadgets.poseidon2_params import PARAMS
     from .field_ct import FieldCT
-    from .transcript_driver import plain_matmuls
+    from .transcript_driver import driver_matmuls
 
     prm = PARAMS[4]
     rc_ext = [[v % R for v in rc] for rc in prm["rc_external"]]
@@ -624,7 +671,7 @@ def create_poseidon2_permutation(builder: UltraBuilder, pc):
 
     # initial external matrix multiplication, both native and in-circuit
     # (poseidon2.rs matrix_multiplication_external: 6 gates)
-    plain_matmuls.matmul_external(native)
+    driver_matmuls.matmul_external(b.d, native)
     two = FieldCT.from_constant(2)
     four = FieldCT.from_constant(4)
     tmp1 = state[0].add_two(state[1], state[3].multiply(two, b), b)
@@ -659,17 +706,17 @@ def create_poseidon2_permutation(builder: UltraBuilder, pc):
 
     for r in range(rounds_f // 2):
         ext_gate(r)
-        plain_matmuls.external_round(native, rc_ext[r])
+        driver_matmuls.external_round(b.d, native, rc_ext[r])
         refresh()
     b.create_unconstrained_gate("pos_ext", *(s.witness_index for s in state))
     for r in range(rounds_p):
         int_gate(r)
-        plain_matmuls.internal_round(native, rc_int[r])
+        driver_matmuls.internal_round(b.d, native, rc_int[r])
         refresh()
     b.create_unconstrained_gate("pos_int", *(s.witness_index for s in state))
     for r in range(rounds_f // 2, rounds_f):
         ext_gate(r)
-        plain_matmuls.external_round(native, rc_ext[r])
+        driver_matmuls.external_round(b.d, native, rc_ext[r])
         refresh()
     b.create_unconstrained_gate("pos_ext", *(s.witness_index for s in state))
 

@@ -444,3 +444,29 @@ def _co_gemini_shplonk_kzg(polys, challenges, log_n, virtual_log_n, crs,
 
     w_poly = _factor_roots_shared(g, z)
     transcript.send_point("KZG:W", drv.commit_open(w_poly, crs))
+
+
+def split_builder_pk(pk: ProvingKey, drv: Rep3HonkDriver):
+    """Mixed-valued proving key (from an UltraBuilder running over the
+    Rep3 VM driver — witness wires are replicated shares, precomputed
+    polys are public ints) -> (public pk, shared_witness) in co_prove's
+    format. The dealer-free counterpart of share_proving_key: nothing is
+    opened here, the shares come straight out of the MPC build
+    (reference co-builder create_keys, co-builder/src/lib.rs:102)."""
+    from ..mpc.rep3_scalar import AShare
+
+    def triv(v: int) -> AShare:
+        v = int(v) % R
+        if drv.id == 0:
+            return AShare(v, 0)
+        if drv.id == 2:
+            return AShare(0, v)
+        return AShare(0, 0)
+
+    shared = {}
+    for name in SHARED_PK_ENTITIES:
+        col = pk.polynomials[name]
+        shared[name] = [v if isinstance(v, AShare) else triv(v)
+                        for v in col]
+        pk.polynomials[name] = [0] * len(col)
+    return pk, shared

@@ -44,11 +44,12 @@ class FieldCT:
     def is_normalized(self) -> bool:
         return self.is_constant() or (self.mul_c == 1 and self.add_c == 0)
 
-    def get_value(self, builder: UltraBuilder) -> int:
+    def get_value(self, builder: UltraBuilder):
         if self.is_constant():
             return self.add_c
-        return (builder.get_variable(self.witness_index) * self.mul_c
-                + self.add_c) % R
+        d = builder.d
+        return d.add(d.mul(builder.get_variable(self.witness_index),
+                           self.mul_c), self.add_c)
 
     def normalize(self, builder: UltraBuilder) -> "FieldCT":
         if self.is_normalized():
@@ -76,7 +77,8 @@ class FieldCT:
         if self.is_constant():
             return FieldCT(self.add_c + other.add_c, other.mul_c,
                            other.witness_index)
-        out = (self.get_value(builder) + other.get_value(builder)) % R
+        out = builder.d.add(self.get_value(builder),
+                            other.get_value(builder))
         idx = builder.add_variable(out)
         builder.create_big_add_gate(self.witness_index, other.witness_index,
                                     idx, builder.zero_idx,
@@ -95,8 +97,9 @@ class FieldCT:
         """self + a + b in one big-mul gate (field_ct.rs:1327-1416)."""
         if self.is_constant() or a.is_constant() or b.is_constant():
             return self.add(a, builder).add(b, builder)
-        out = (self.get_value(builder) + a.get_value(builder)
-               + b.get_value(builder)) % R
+        out = builder.d.add(
+            builder.d.add(self.get_value(builder), a.get_value(builder)),
+            b.get_value(builder))
         idx = builder.add_variable(out)
         g = MulQuad(a=self.witness_index, b=a.witness_index,
                     c=b.witness_index, d=idx, mul_scaling=0,
@@ -119,9 +122,12 @@ class FieldCT:
         q_r = self.add_c * other.mul_c % R
         q_l = self.mul_c * other.add_c % R
         q_m = self.mul_c * other.mul_c % R
+        d = builder.d
         left = builder.get_variable(self.witness_index)
         right = builder.get_variable(other.witness_index)
-        out = (q_m * left * right + q_l * left + q_r * right + q_c) % R
+        out = d.add(d.add(d.mul(q_m, d.mul(left, right)),
+                          d.mul(q_l, left)),
+                    d.add(d.mul(q_r, right), q_c))
         idx = builder.add_variable(out)
         builder.create_poly_gate(self.witness_index, other.witness_index,
                                  idx, q_m, q_l, q_r, -1 % R, q_c)
@@ -130,7 +136,8 @@ class FieldCT:
     def assert_equal(self, other: "FieldCT", builder: UltraBuilder):
         """field_ct.rs assert_equal."""
         if self.is_constant() and other.is_constant():
-            assert self.get_value(builder) == other.get_value(builder)
+            assert int(self.get_value(builder)) == int(
+                other.get_value(builder))
         elif self.is_constant():
             idx = other.get_witness_index(builder)
             builder.assert_equal(idx,

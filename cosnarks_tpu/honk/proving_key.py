@@ -192,6 +192,15 @@ def create_proving_key(builder: UltraBuilder) -> ProvingKey:
     num_pub = len(pub_block)
     pub_offset = pub_block.trace_offset
     public_inputs = [polys["w_r"][pub_offset + i] for i in range(num_pub)]
+    d = getattr(builder, "d", None)
+    if d is not None and any(d.is_shared(v) for v in public_inputs):
+        # public inputs are public by definition: open them (the witness
+        # wires stay shared; co-builder opens exactly these)
+        public_inputs = [int(d.open(v)) if d.is_shared(v) else int(v)
+                         for v in public_inputs]
+        for i, v in enumerate(public_inputs):
+            polys["w_r"][pub_offset + i] = v
+            polys["w_l"][pub_offset + i] = v
 
     return ProvingKey(
         circuit_size=n, log_circuit_size=(n - 1).bit_length(),

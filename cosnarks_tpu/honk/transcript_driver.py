@@ -50,3 +50,52 @@ class plain_matmuls:
         v2 = v * v % R
         s[0] = v2 * v2 % R * v % R
         plain_matmuls.matmul_internal(s)
+
+
+class driver_matmuls:
+    """Driver-generic Poseidon2 round helpers for the co-builder: the same
+    linear layers over VM-driver values (ints or Rep3 shares); the S-box
+    x^5 batches its 3 multiplication rounds across all 4 lanes (mirrors
+    the reference co-builder's Poseidon2 gate witness generation,
+    co-builder/src/types/poseidon2.rs)."""
+
+    @staticmethod
+    def matmul_m4(d, s):
+        t0 = d.add(s[0], s[1])
+        t1 = d.add(s[2], s[3])
+        t2 = d.add(d.mul(2, s[1]), t1)
+        t3 = d.add(d.mul(2, s[3]), t0)
+        t4 = d.add(d.mul(4, t1), t3)
+        t5 = d.add(d.mul(4, t0), t2)
+        s[0] = d.add(t3, t5)
+        s[1] = t5
+        s[2] = d.add(t2, t4)
+        s[3] = t4
+
+    matmul_external = matmul_m4
+
+    @staticmethod
+    def matmul_internal(d, s):
+        tot = d.add(d.add(s[0], s[1]), d.add(s[2], s[3]))
+        for i in range(4):
+            s[i] = d.add(d.mul(s[i], _DIAG[i]), tot)
+
+    @staticmethod
+    def _sbox_many(d, vs):
+        v2 = d.mul_many(vs, vs)
+        v4 = d.mul_many(v2, v2)
+        return d.mul_many(v4, vs)
+
+    @staticmethod
+    def external_round(d, s, rc):
+        vs = [d.add(s[i], rc[i]) for i in range(4)]
+        out = driver_matmuls._sbox_many(d, vs)
+        for i in range(4):
+            s[i] = out[i]
+        driver_matmuls.matmul_external(d, s)
+
+    @staticmethod
+    def internal_round(d, s, rc):
+        v = d.add(s[0], rc)
+        s[0] = driver_matmuls._sbox_many(d, [v])[0]
+        driver_matmuls.matmul_internal(d, s)

@@ -310,3 +310,62 @@ def test_groth16_synthetic_setup_small():
     vk = prove.vk_from_zkey(zkey)
     assert verify_bn254(vk, proof, w[1:n_inst])
     assert not verify_bn254(vk, proof, [4])
+
+
+@pytest.mark.parametrize("name,flavor", [("if_then", "keccak"),
+                                         ("poseidon", "poseidon2")])
+def test_co_builder_e2e(name, flavor):
+    """Dealer-free pipeline: shared inputs -> co-ACVM witness extension ->
+    MPC UltraCircuitBuilder (witness never opened) -> split_builder_pk ->
+    co_prove. The proof must be byte-identical to the plain pipeline
+    (reference co-builder + co-ultrahonk flow, co-noir/src/lib.rs)."""
+    import secrets
+    import tomllib
+
+    from cosnarks_tpu.honk import co_prover as hco
+    from cosnarks_tpu.honk.co_driver import Rep3HonkDriver
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.mpc.rep3_scalar import HostRng, Rep3Scalar
+    from cosnarks_tpu.noir import solver as nsolver
+    from cosnarks_tpu.vm.rep3_driver import Rep3Driver
+    from cosnarks_tpu.ff.spec import BN254_FR
+
+    art = acir.load_artifact(f"{REF}/{name}/kat/{name}.json")
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    prover_toml = tomllib.load(open(f"{REF}/{name}/Prover.toml", "rb"))
+    inputs = acir.encode_inputs(art.abi, prover_toml, R)
+    H = ht.HASHERS[flavor]
+
+    # plain oracle
+    wit = acir.load_witness_stack(f"{REF}/{name}/kat/{name}.gz")
+    witness = [wit.get(i, 0) for i in range(af.max_witness_index + 1)]
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    pk = hpk.create_proving_key(b)
+    crs = hcrs.cached_local_crs(pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    plain_proof, plain_pub = hprover.prove(pk, vk, crs, H)
+
+    shares = [Rep3Scalar.share(v, R) for v in inputs]
+
+    def party(k):
+        def run(net):
+            keys = [bytes([91 + j]) * 32 for j in range(3)]
+            rng = HostRng(keys[k], keys[(k + 1) % 3])
+            vm_drv = Rep3Driver(Rep3Scalar(net, rng, R), BN254_FR)
+            wmap = nsolver.solve_program(art, vm_drv, R,
+                                         [s[k] for s in shares])
+            witn = [vm_drv.norm(wmap.get(i, 0))
+                    for i in range(af.max_witness_index + 1)]
+            cb = hbuilder.UltraBuilder.create_circuit(af, witn,
+                                                      driver=vm_drv)
+            cpk = hpk.create_proving_key(cb)
+            cvk = hpk.create_vk(cpk, crs)
+            hd = Rep3HonkDriver(net, rng.fork(97))
+            pk_pub, sw = hco.split_builder_pk(cpk, hd)
+            return hco.co_prove(pk_pub, sw, cvk, crs, H, hd)
+        return run
+
+    res = run_parties([party(i) for i in range(3)], timeout=1200.0)
+    assert res[0][0] == res[1][0] == res[2][0], "parties disagree"
+    assert res[0][0] == plain_proof and res[0][1] == plain_pub
+    assert hverifier.verify(res[0][0], res[0][1], vk, crs.g2_x, H)
