@@ -266,20 +266,7 @@ def cmd_split_proving_key(args):
     shares = hco.share_proving_key(pk, None)
     os.makedirs(args.out_dir, exist_ok=True)
     pub_path = os.path.join(args.out_dir, "pk_public.npz")
-    np.savez(pub_path,
-             circuit_size=pk.circuit_size,
-             num_public_inputs=pk.num_public_inputs,
-             pub_inputs_offset=pk.pub_inputs_offset,
-             final_active_wire_idx=pk.final_active_wire_idx,
-             memory_read_records=np.array(pk.memory_read_records,
-                                          dtype=np.int64),
-             memory_write_records=np.array(pk.memory_write_records,
-                                           dtype=np.int64),
-             public_inputs=np.array([str(v) for v in pk.public_inputs]),
-             active_ranges=np.array(pk.active_region_data.ranges,
-                                    dtype=np.int64).reshape(-1, 2),
-             **{name: np.array([str(v) for v in pk.polynomials[name]])
-                for name in _PK_PUBLIC_POLYS})
+    _write_public_pk(pk, pub_path)
     for k in range(3):
         out = os.path.join(args.out_dir, f"pk.{k}.shared")
         entries = {name: [[s.a, s.b] for s in shares[k][name]]
@@ -317,6 +304,71 @@ def _load_public_pk(path):
         memory_write_records=[int(v) for v in data["memory_write_records"]],
         final_active_wire_idx=int(data["final_active_wire_idx"]),
         active_region_data=active)
+
+
+def _write_public_pk(pk, pub_path):
+    import numpy as np
+
+    np.savez(pub_path,
+             circuit_size=pk.circuit_size,
+             num_public_inputs=pk.num_public_inputs,
+             pub_inputs_offset=pk.pub_inputs_offset,
+             final_active_wire_idx=pk.final_active_wire_idx,
+             memory_read_records=np.array(pk.memory_read_records,
+                                          dtype=np.int64),
+             memory_write_records=np.array(pk.memory_write_records,
+                                           dtype=np.int64),
+             public_inputs=np.array([str(v) for v in pk.public_inputs]),
+             active_ranges=np.array(pk.active_region_data.ranges,
+                                    dtype=np.int64).reshape(-1, 2),
+             **{name: np.array([str(v) for v in pk.polynomials[name]])
+                for name in _PK_PUBLIC_POLYS})
+
+
+def cmd_build_proving_key(args):
+    """Dealer-free: build the proving key from a SHARED witness via the
+    MPC UltraCircuitBuilder (reference co-noir.rs BuildProvingKey): each
+    party holds its witness share; the wire polynomials come out shared,
+    nothing is opened except the public inputs."""
+    from ..honk import builder as hbuilder
+    from ..honk import co_prover as hco
+    from ..honk import proving_key as hpk
+    from ..honk.co_driver import Rep3HonkDriver
+    from ..mpc.net.config import NetworkConfig
+    from ..mpc.rep3_scalar import AShare, HostRng, Rep3Scalar
+    from ..vm.rep3_driver import Rep3Driver
+
+    art = acir.load_artifact(args.circuit)
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    data = _read_share_file(args.witness, _FMT_WITNESS)
+    wmap = {int(k): AShare(int(a), int(b))
+            for k, (a, b) in data["entries"].items()}
+    witness = [wmap.get(i, 0) for i in range(af.max_witness_index + 1)]
+    with phase("Establish network"):
+        net = NetworkConfig.from_toml(args.config).connect()
+    try:
+        seed = secrets.token_bytes(32)
+        key_next = net.reshare_backward(seed)
+        rng = HostRng(seed, key_next)
+        vm_drv = Rep3Driver(Rep3Scalar(net, rng, BN254_FR.p), BN254_FR)
+        with phase("MPC circuit build"):
+            b = hbuilder.UltraBuilder.create_circuit(af, witness,
+                                                     driver=vm_drv)
+            pk = hpk.create_proving_key(b)
+        hd = Rep3HonkDriver(net, rng.fork(2**31))
+        pk_pub, shared = hco.split_builder_pk(pk, hd)
+        os.makedirs(args.out_dir, exist_ok=True)
+        pub_path = os.path.join(args.out_dir, "pk_public.npz")
+        _write_public_pk(pk_pub, pub_path)
+        out = os.path.join(args.out_dir, f"pk.{net.id}.shared")
+        entries = {name: [[s.a, s.b] for s in shared[name]]
+                   for name in hco.SHARED_PK_ENTITIES}
+        _write_share_file(out, _FMT_PK, net.id, entries)
+        print(f"wrote {out}")
+        print(f"wrote {pub_path}")
+        report_net(net)
+    finally:
+        net.close()
 
 
 def cmd_generate_proof(args):
@@ -448,6 +500,16 @@ def main(argv=None):
     p.add_argument("--witness", required=True, help="nargo witness (.gz)")
     p.add_argument("--out-dir", required=True)
     p.set_defaults(fn=cmd_split_proving_key)
+
+    p = sub.add_parser("build-proving-key",
+                       help="dealer-free MPC proving key from a shared "
+                            "witness (co-builder)")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--witness", required=True,
+                   help="this party's witness.<i>.shared")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.set_defaults(fn=cmd_build_proving_key)
 
     p = sub.add_parser("generate-proof",
                        help="3-party Rep3 collaborative UltraHonk proof")

@@ -369,3 +369,79 @@ def test_co_builder_e2e(name, flavor):
     assert res[0][0] == res[1][0] == res[2][0], "parties disagree"
     assert res[0][0] == plain_proof and res[0][1] == plain_pub
     assert hverifier.verify(res[0][0], res[0][1], vk, crs.g2_x, H)
+
+
+def test_noir_cli_dealer_free_pipeline(tmp_path):
+    """Full dealer-free CLI flow (co-noir.rs BuildProvingKey path):
+    split-input -> generate-witness -> build-proving-key (MPC builder)
+    -> generate-proof -> verify; proof must equal the plain one."""
+    import json
+    import threading
+
+    from cosnarks_tpu.noir import cli as ncli
+
+    name = "if_then"
+    circuit = f"{REF}/{name}/kat/{name}.json"
+    d = str(tmp_path)
+
+    # plain oracle proof
+    ncli.main(["prove", "--circuit", circuit,
+               "--witness", f"{REF}/{name}/kat/{name}.gz",
+               "--hasher", "KECCAK",
+               "--out", f"{d}/plain.proof",
+               "--public-input", f"{d}/plain.pub",
+               "--vk", f"{d}/plain.vk"])
+
+    ncli.main(["split-input", "--circuit", circuit,
+               "--input", f"{REF}/{name}/Prover.toml", "--out-dir", d])
+
+    ports = [18870, 18871, 18872]
+    for k in range(3):
+        lines = [f"my_id = {k}", "insecure_plaintext = true"]
+        for j in range(3):
+            lines += ["", "[[parties]]", f"id = {j}",
+                      f'dns_name = "127.0.0.1:{ports[j]}"']
+        (tmp_path / f"party{k}.toml").write_text("\n".join(lines))
+
+    errs = []
+
+    def stage(cmd_builder):
+        errs.clear()
+
+        def party(k):
+            try:
+                ncli.main(cmd_builder(k))
+            except Exception as e:  # noqa: BLE001
+                errs.append((k, e))
+
+        ts = [threading.Thread(target=party, args=(k,)) for k in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(600)
+        assert not errs, errs
+
+    stage(lambda k: ["generate-witness", "--circuit", circuit,
+                     "--input", f"{d}/Prover.toml.{k}.shared",
+                     "--protocol", "REP3",
+                     "--config", f"{d}/party{k}.toml",
+                     "--out", f"{d}/witness.{k}.shared"])
+    stage(lambda k: ["build-proving-key", "--circuit", circuit,
+                     "--witness", f"{d}/witness.{k}.shared",
+                     "--config", f"{d}/party{k}.toml",
+                     "--out-dir", d])
+    stage(lambda k: ["generate-proof",
+                     "--proving-key", f"{d}/pk.{k}.shared",
+                     "--proving-key-public", f"{d}/pk_public.npz",
+                     "--hasher", "KECCAK",
+                     "--config", f"{d}/party{k}.toml",
+                     "--out", f"{d}/proof.{k}",
+                     "--public-input", f"{d}/pub.{k}"])
+
+    plain = open(f"{d}/plain.proof", "rb").read()
+    for k in range(3):
+        assert open(f"{d}/proof.{k}", "rb").read() == plain
+
+    ncli.main(["verify", "--proof", f"{d}/proof.0",
+               "--public-input", f"{d}/pub.0",
+               "--vk", f"{d}/plain.vk", "--hasher", "KECCAK"])
