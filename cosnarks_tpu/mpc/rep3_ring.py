@@ -263,6 +263,76 @@ def ohv_from_bits(ring: Rep3Ring, bits: BShare, k: int) -> BShare:
     return BShare(ea, eb, 1 << k)
 
 
+def ohv_from_bits_many(ring: Rep3Ring, bits_list: list[BShare],
+                       k: int) -> list[BShare]:
+    """Batched ohv_from_bits: each doubling level reshapes into ONE
+    reshare round carrying every index's packed AND (the batching the
+    reference gets from vectorized gadget entry points)."""
+    eas, ebs = [], []
+    for bits in bits_list:
+        v0a, v0b = bits.a & 1, bits.b & 1
+        ea = (v0a << 1) | v0a
+        eb = (v0b << 1) | v0b
+        if ring.id == 0:
+            ea ^= 1
+        elif ring.id == 2:
+            eb ^= 1
+        eas.append(ea)
+        ebs.append(eb)
+    for t in range(1, k):
+        width = 1 << t
+        gas = []
+        for i, bits in enumerate(bits_list):
+            va, vb = (bits.a >> t) & 1, (bits.b >> t) & 1
+            r = ring.rng.zero_xor(width)
+            gas.append((eas[i] * va) ^ (eas[i] * vb) ^ (ebs[i] * va) ^ r)
+        gbs = ring.net.reshare_backward(gas)
+        for i in range(len(bits_list)):
+            eas[i] = (eas[i] ^ gas[i]) | (gas[i] << width)
+            ebs[i] = (ebs[i] ^ gbs[i]) | (gbs[i] << width)
+    return [BShare(a, b, 1 << k) for a, b in zip(eas, ebs)]
+
+
+def read_public_lut_bits_many(ring: Rep3Ring, fp, lut: list[int],
+                              idx_bits: list[BShare],
+                              value_bits: int) -> list[BShare]:
+    """Batched public-table reads returning BINARY shares of the values
+    (for consumers that keep working in the XOR domain, e.g. the AES
+    S-box): one batched rand_ohv + ONE open round for all indices, local
+    XOR gathers (lut_field.rs:17-56 without the trailing B2A)."""
+    n = len(lut)
+    k = max(1, (n - 1).bit_length())
+    kmask = (1 << k) - 1
+    m, nn = ring.rng.pair(b"ohvb")
+    rs = []
+    for i in range(len(idx_bits)):
+        # independent per-read random offsets from one vector draw
+        ra = (m >> (k * i)) & kmask
+        rb = (nn >> (k * i)) & kmask
+        rs.append(BShare(ra, rb, k))
+    if k * len(idx_bits) > 500:  # beyond one 512-bit draw: draw per read
+        rs = [BShare(*(v & kmask for v in ring.rng.pair(b"ohvb%d" % i)), k)
+              for i in range(len(idx_bits))]
+    es = ohv_from_bits_many(ring, rs, k)
+    masked = [BShare((r.a ^ ib.a) & kmask, (r.b ^ ib.b) & kmask)
+              for r, ib in zip(rs, idx_bits)]
+    other = ring.net.reshare_backward([x.b for x in masked])
+    cs = [(x.a ^ x.b ^ c) & kmask for x, c in zip(masked, other)]
+    out = []
+    for e, c in zip(es, cs):
+        ta = tb = 0
+        for j in range(1 << k):
+            idx = j ^ c
+            if idx >= n:
+                continue
+            if (e.a >> j) & 1:
+                ta ^= lut[idx]
+            if (e.b >> j) & 1:
+                tb ^= lut[idx]
+        out.append(BShare(ta, tb, value_bits))
+    return out
+
+
 def rand_ohv(ring: Rep3Ring, k: int) -> tuple[BShare, BShare]:
     """(r, e): r = binary share of a random k-bit index, e = packed OHV
     of r (ohv.rs:20-41)."""

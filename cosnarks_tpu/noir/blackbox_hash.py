@@ -427,3 +427,95 @@ def aes128_encrypt_cbc(message_bytes, iv, key):
         out += enc
         prev = enc
     return out
+
+
+# -- shared AES-128 (Rep3): S-box through the oblivious public-table LUT
+# gadget; everything else is XOR-domain local (xtime's conditional 0x1B is
+# a per-party spread of the high bit, which commutes with XOR-sharing).
+# Counterpart of the reference's LUT-based shared AES blackbox
+# (co-acvm blackbox_solver + rep3_ring/gadgets/lut_field.rs).
+
+def _bx(a, b):
+    from ..mpc.rep3_scalar import BShare
+
+    return BShare(a.a ^ b.a, a.b ^ b.b, 8)
+
+
+def _bxt(a):
+    from ..mpc.rep3_scalar import BShare
+
+    def f(x):
+        return ((x << 1) & 0xFF) ^ (0x1B * ((x >> 7) & 1))
+
+    return BShare(f(a.a), f(a.b), 8)
+
+
+def _sub_shift_shared(ring, fp, s):
+    from ..mpc.rep3_ring import read_public_lut_bits_many
+
+    s = read_public_lut_bits_many(ring, fp, _aes_sbox(), s, 8)
+    out = list(s)
+    for r in range(1, 4):
+        col = [s[r + 4 * c] for c in range(4)]
+        col = col[r:] + col[:r]
+        for c in range(4):
+            out[r + 4 * c] = col[c]
+    return out
+
+
+def _aes_expand_key_shared(ring, fp, key):
+    from ..mpc.rep3_ring import read_public_lut_bits_many
+
+    rcon = 1
+    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = read_public_lut_bits_many(ring, fp, _aes_sbox(), t, 8)
+            t[0] = fp.bxor_public(t[0], rcon)
+            rcon = ((rcon << 1) ^ 0x1B) & 0xFF if rcon & 0x80 else rcon << 1
+        w.append([_bx(a, b) for a, b in zip(w[i - 4], t)])
+    return [[b for c in range(4) for b in w[4 * r + c]] for r in range(11)]
+
+
+def _aes_encrypt_block_shared(ring, fp, block, round_keys):
+    s = [_bx(b, k) for b, k in zip(block, round_keys[0])]
+    for rnd in range(1, 10):
+        s = _sub_shift_shared(ring, fp, s)
+        mixed = []
+        for c in range(4):
+            col = s[4 * c:4 * c + 4]
+            xts = [_bxt(x) for x in col]
+            mixed += [
+                _bx(_bx(xts[0], _bx(xts[1], col[1])),
+                    _bx(col[2], col[3])),
+                _bx(_bx(col[0], xts[1]),
+                    _bx(_bx(xts[2], col[2]), col[3])),
+                _bx(_bx(col[0], col[1]),
+                    _bx(xts[2], _bx(xts[3], col[3]))),
+                _bx(_bx(xts[0], col[0]),
+                    _bx(col[1], _bx(col[2], xts[3]))),
+            ]
+        s = [_bx(b, k) for b, k in zip(mixed, round_keys[rnd])]
+    s = _sub_shift_shared(ring, fp, s)
+    return [_bx(b, k) for b, k in zip(s, round_keys[10])]
+
+
+def aes128_encrypt_cbc_shared(ring, fp, message, iv, key):
+    """AES-128-CBC over 8-bit binary shares (PKCS7, message length
+    public). message/iv/key entries are BShares; returns BShares."""
+    from ..mpc.rep3_scalar import BShare
+
+    pad = 16 - len(message) % 16
+    data = list(message) + [fp.bpromote(pad) for _ in range(pad)]
+    data = [BShare(d.a, d.b, 8) for d in data]
+    round_keys = _aes_expand_key_shared(ring, fp, list(key))
+    prev = list(iv)
+    out = []
+    for i in range(0, len(data), 16):
+        block = [_bx(b, p) for b, p in zip(data[i:i + 16], prev)]
+        enc = _aes_encrypt_block_shared(ring, fp, block, round_keys)
+        out += enc
+        prev = enc
+    return out

@@ -194,8 +194,32 @@ class CoSolver:
         key = [self._in(v) for v in args[2]]
         outs = [int(w) for w in args[3]]
         if any(self.d.is_shared(v) for v in inputs + iv + key):
-            raise UnsolvableError(
-                "shared AES128Encrypt needs the GC/LUT S-box path")
+            # LUT S-box path: bytes live as 8-bit binary shares; the S-box
+            # is an oblivious public-table read (mpc/rep3_ring.py)
+            from ..mpc.rep3_ring import Rep3Ring
+            from ..mpc.rep3_scalar import BShare
+
+            d = self.d
+            fp = d.pr
+            ring = Rep3Ring(fp.net, fp.rng, 32)
+
+            def to_bytes(vals):
+                shared_idx = [i for i, v in enumerate(vals)
+                              if d.is_shared(v)]
+                bs = fp.a2b_many([d.to_share(vals[i])
+                                  for i in shared_idx])
+                out = [fp.bpromote(int(v) % 256)
+                       if not d.is_shared(v) else None for v in vals]
+                for i, bsh in zip(shared_idx, bs):
+                    out[i] = BShare(bsh.a & 0xFF, bsh.b & 0xFF, 8)
+                return out
+
+            res = bh.aes128_encrypt_cbc_shared(
+                ring, fp, to_bytes(inputs), to_bytes(iv), to_bytes(key))
+            arith = fp.b2a_many([BShare(v.a, v.b, 8) for v in res])
+            for w, v in zip(outs, arith):
+                self.witness[w] = v
+            return
         res = bh.aes128_encrypt_cbc([int(v) % self.p for v in inputs],
                                     [int(v) % self.p for v in iv],
                                     [int(v) % self.p for v in key])
@@ -240,10 +264,53 @@ class CoSolver:
 
     def _bb_embeddedcurveadd(self, args):
         in1, in2, _pred, outs = args
+        v1 = [self._in(v) for v in in1]
+        v2 = [self._in(v) for v in in2]
+        if any(self.d.is_shared(v) for v in v1 + v2):
+            return self._embedded_add_shared(v1, v2, outs)
         hc = self._grumpkin()
         p1 = self._ec_point(hc, in1)
         p2 = self._ec_point(hc, in2)
         self._store_point(hc, hc.add(p1, p2), outs)
+
+    def _embedded_add_shared(self, v1, v2, outs):
+        """Complete Grumpkin affine add on SHARED coordinates: Grumpkin's
+        base field is bn254-Fr, so point coords are ordinary protocol
+        shares; branchless case handling (double / cancel / infinity) via
+        shared predicates (reference co-acvm shared point ops, co-noir/
+        co-acvm/src/mpc/rep3.rs embedded-curve path). Grumpkin has odd
+        prime order, so no 2-torsion: 2*y1 == 0 only for the infinity
+        placeholder, which the masks cover."""
+        d = self.d
+        x1, y1, i1 = (d.norm(v) for v in v1)
+        x2, y2, i2 = (d.norm(v) for v in v2)
+        same_x = d.eq(x1, x2)
+        same_y = d.eq(y1, y2)
+        dbl = d.mul(same_x, same_y)
+        cancel = d.mul(same_x, d.sub(1, same_y))
+        # masked denominators (nonzero in every case that gets selected)
+        den_add = d.add(d.sub(x2, x1), same_x)
+        den_dbl = d.add(d.add(y1, y1), d.add(i1, i2))
+        lam_add = d.div(d.sub(y2, y1), den_add)
+        xx = d.mul(x1, x1)
+        lam_dbl = d.div(d.add(d.add(xx, xx), xx), den_dbl)
+        lam = d.cmux(dbl, lam_dbl, lam_add)
+        x3 = d.sub(d.sub(d.mul(lam, lam), x1), x2)
+        y3 = d.sub(d.mul(lam, d.sub(x1, x3)), y1)
+        # infinity plumbing: P1=inf -> P2; P2=inf -> P1; cancel -> inf
+        inf3 = cancel
+        rx = d.cmux(inf3, 0, x3)
+        ry = d.cmux(inf3, 0, y3)
+        rx = d.cmux(i2, x1, rx)
+        ry = d.cmux(i2, y1, ry)
+        ri = d.cmux(i2, i1, inf3)
+        rx = d.cmux(i1, x2, rx)
+        ry = d.cmux(i1, y2, ry)
+        ri = d.cmux(i1, i2, ri)
+        ox, oy, oinf = (int(w) for w in outs)
+        self.witness[ox] = d.norm(rx)
+        self.witness[oy] = d.norm(ry)
+        self.witness[oinf] = d.norm(ri)
 
     def _bb_multiscalarmul(self, args):
         points, scalars, _pred, outs = args

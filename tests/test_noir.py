@@ -36,6 +36,8 @@ PROGRAMS = [
     "bb_sha256_compression",
     "blake2s",
     "blake3",
+    "aes128",
+    "embedded_curve_add",
     pytest.param("recursion_zk", marks=pytest.mark.xfail(
         reason="shipped Prover.toml is stale vs its KAT witness stack "
                "(raw input values differ)")),
@@ -47,10 +49,9 @@ PROGRAMS = [
     "write_access",
 ]
 
-# Grumpkin blackboxes and AES (table S-boxes need the GC/LUT path) solve
-# plain-side only so far
-PLAIN_ONLY = ["embedded_curve_add", "pedersen_commitment", "pedersen_hash",
-              "aes128"]
+# fixed-base pedersen over shared scalars (shared-point scalar-mul chain)
+# is still plain-side only
+PLAIN_ONLY = ["pedersen_commitment", "pedersen_hash"]
 
 
 def _load(name):
