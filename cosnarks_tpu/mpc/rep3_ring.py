@@ -333,6 +333,45 @@ def read_public_lut_bits_many(ring: Rep3Ring, fp, lut: list[int],
     return out
 
 
+def read_public_luts_many(ring: Rep3Ring, fp, luts: list[tuple],
+                          idx_bits: list[BShare], k: int):
+    """Batched multi-table reads with ARITHMETIC outputs: read i gathers
+    every table in luts[i] (e.g. a point's x and y columns) under ONE
+    one-hot vector; all OHVs and the index opens batch into shared
+    rounds, and the binary->arithmetic conversions of every output batch
+    into one pass (reference read_multiple_public_lut_low_depth,
+    rep3_ring/gadgets/lut_field.rs:136-213)."""
+    kmask = (1 << k) - 1
+    rs = [BShare(*(v & kmask for v in ring.rng.pair(b"ohvm%d" % i)), k)
+          for i in range(len(idx_bits))]
+    es = ohv_from_bits_many(ring, rs, k)
+    masked = [BShare((r.a ^ ib.a) & kmask, (r.b ^ ib.b) & kmask)
+              for r, ib in zip(rs, idx_bits)]
+    other = ring.net.reshare_backward([x.b for x in masked])
+    cs = [(x.a ^ x.b ^ c) & kmask for x, c in zip(masked, other)]
+    flat = []
+    for (e, c), tables in zip(zip(es, cs), luts):
+        for lut in tables:
+            n = len(lut)
+            ta = tb = 0
+            for j in range(1 << k):
+                idx = j ^ c
+                if idx >= n:
+                    continue
+                if (e.a >> j) & 1:
+                    ta ^= lut[idx]
+                if (e.b >> j) & 1:
+                    tb ^= lut[idx]
+            flat.append(BShare(ta, tb, fp.k))
+    flat = fp._sub_p_cmux_many(flat, fp.k + 1)
+    arith = fp.b2a_many(flat)
+    out, pos = [], 0
+    for tables in luts:
+        out.append(tuple(arith[pos:pos + len(tables)]))
+        pos += len(tables)
+    return out
+
+
 def rand_ohv(ring: Rep3Ring, k: int) -> tuple[BShare, BShare]:
     """(r, e): r = binary share of a random k-bit index, e = packed OHV
     of r (ohv.rs:20-41)."""

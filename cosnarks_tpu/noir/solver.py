@@ -282,31 +282,9 @@ class CoSolver:
         prime order, so no 2-torsion: 2*y1 == 0 only for the infinity
         placeholder, which the masks cover."""
         d = self.d
-        x1, y1, i1 = (d.norm(v) for v in v1)
-        x2, y2, i2 = (d.norm(v) for v in v2)
-        same_x = d.eq(x1, x2)
-        same_y = d.eq(y1, y2)
-        dbl = d.mul(same_x, same_y)
-        cancel = d.mul(same_x, d.sub(1, same_y))
-        # masked denominators (nonzero in every case that gets selected)
-        den_add = d.add(d.sub(x2, x1), same_x)
-        den_dbl = d.add(d.add(y1, y1), d.add(i1, i2))
-        lam_add = d.div(d.sub(y2, y1), den_add)
-        xx = d.mul(x1, x1)
-        lam_dbl = d.div(d.add(d.add(xx, xx), xx), den_dbl)
-        lam = d.cmux(dbl, lam_dbl, lam_add)
-        x3 = d.sub(d.sub(d.mul(lam, lam), x1), x2)
-        y3 = d.sub(d.mul(lam, d.sub(x1, x3)), y1)
-        # infinity plumbing: P1=inf -> P2; P2=inf -> P1; cancel -> inf
-        inf3 = cancel
-        rx = d.cmux(inf3, 0, x3)
-        ry = d.cmux(inf3, 0, y3)
-        rx = d.cmux(i2, x1, rx)
-        ry = d.cmux(i2, y1, ry)
-        ri = d.cmux(i2, i1, inf3)
-        rx = d.cmux(i1, x2, rx)
-        ry = d.cmux(i1, y2, ry)
-        ri = d.cmux(i1, i2, ri)
+        rx, ry, ri = _shared_complete_add(
+            d, tuple(d.norm(v) for v in v1),
+            tuple(d.norm(v) for v in v2))
         ox, oy, oinf = (int(w) for w in outs)
         self.witness[ox] = d.norm(rx)
         self.witness[oy] = d.norm(ry)
@@ -315,19 +293,35 @@ class CoSolver:
     def _bb_multiscalarmul(self, args):
         points, scalars, _pred, outs = args
         hc = self._grumpkin()
-        acc = None
+        d = self.d
+        acc = None          # public partial sum (host point)
+        shared_pairs = []   # (public affine base, lo share, hi share)
         for i in range(0, len(points), 3):
             pt = self._ec_point(hc, points[i : i + 3])
             lo = self._in(scalars[2 * (i // 3)])
             hi = self._in(scalars[2 * (i // 3) + 1])
-            if self.d.is_shared(lo) or self.d.is_shared(hi):
-                raise UnsolvableError("shared MSM scalar")
+            if d.is_shared(lo) or d.is_shared(hi):
+                if pt is None:
+                    continue
+                shared_pairs.append((hc._lower(pt), lo, hi))
+                continue
             k = int(lo) + (int(hi) << 128)
             if pt is None or k == 0:
                 continue
             term = hc.mul(pt, k)
             acc = term if acc is None else hc.add(acc, term)
-        self._store_point(hc, acc, outs)
+        if not shared_pairs:
+            self._store_point(hc, acc, outs)
+            return
+        sx, sy, sinf = shared_fixed_base_msm(d, shared_pairs, hc)
+        if acc is not None:
+            ax, ay = hc.affine_ints(acc)
+            sx, sy, sinf = _shared_complete_add(d, (sx, sy, sinf),
+                                                (ax, ay, 0))
+        ox, oy, oinf = (int(w) for w in outs)
+        self.witness[ox] = d.norm(sx)
+        self.witness[oy] = d.norm(sy)
+        self.witness[oinf] = d.norm(sinf)
 
     # -- memory (public indices; memory_solver.rs) ----------------------------
     def _op_memory_init(self, payload):
@@ -482,3 +476,123 @@ def solve_program(artifact, driver, p: int, input_values: list):
     solver = CoSolver(fn, driver, p, brillig_fns=artifact.brillig)
     solver.set_inputs(input_values)
     return solver.solve()
+
+
+def _shared_complete_add(d, p1, p2):
+    """Branchless complete Grumpkin affine add over driver values:
+    (x, y, inf) triples, any mix of public ints and shares. Handles
+    double / cancel / either-infinity via shared predicates; masked
+    slope denominators are nonzero in every selected case (Grumpkin has
+    odd prime order, so 2y == 0 only at the infinity placeholder)."""
+    x1, y1, i1 = p1
+    x2, y2, i2 = p2
+    same_x = d.eq(x1, x2)
+    same_y = d.eq(y1, y2)
+    dbl = d.mul(same_x, same_y)
+    cancel = d.mul(same_x, d.sub(1, same_y))
+    den_add = d.add(d.sub(x2, x1), same_x)
+    den_dbl = d.add(d.add(y1, y1), d.add(i1, i2))
+    lam_add = d.div(d.sub(y2, y1), den_add)
+    xx = d.mul(x1, x1)
+    lam_dbl = d.div(d.add(d.add(xx, xx), xx), den_dbl)
+    lam = d.cmux(dbl, lam_dbl, lam_add)
+    x3 = d.sub(d.sub(d.mul(lam, lam), x1), x2)
+    y3 = d.sub(d.mul(lam, d.sub(x1, x3)), y1)
+    rx = d.cmux(cancel, 0, x3)
+    ry = d.cmux(cancel, 0, y3)
+    ri = cancel
+    rx = d.cmux(i2, x1, rx)
+    ry = d.cmux(i2, y1, ry)
+    ri = d.cmux(i2, i1, ri)
+    rx = d.cmux(i1, x2, rx)
+    ry = d.cmux(i1, y2, ry)
+    ri = d.cmux(i1, i2, ri)
+    return rx, ry, ri
+
+
+def _shared_incomplete_add_many(d, ps, qs):
+    """Batched affine adds assuming every pair is finite with distinct
+    x (the windowed-MSM offsets make collisions negligible): one batched
+    masked inversion + two batched mul rounds for the whole level."""
+    dens = [d.to_share(d.sub(q[0], p[0])) for p, q in zip(ps, qs)]
+    invs = d.pr.inv_many(dens)
+    nums = [d.sub(q[1], p[1]) for p, q in zip(ps, qs)]
+    lams = d.mul_many(nums, invs)
+    l2 = d.mul_many(lams, lams)
+    x3s = [d.sub(d.sub(a, p[0]), q[0])
+           for a, p, q in zip(l2, ps, qs)]
+    t = d.mul_many(lams, [d.sub(p[0], x3) for p, x3 in zip(ps, x3s)])
+    y3s = [d.sub(v, p[1]) for v, p in zip(t, ps)]
+    return list(zip(x3s, y3s))
+
+
+def shared_fixed_base_msm(d, pairs, hc):
+    """MSM with PUBLIC base points and SHARED 128-bit scalar limbs
+    (reference co-acvm shared multi_scalar_mul): per pair, decompose the
+    limbs once (A2B), read each 4-bit window's precomputed multiple
+    through the batched OHV-LUT gadget (tables offset by deterministic
+    random points so every entry is finite), tree-reduce all window
+    terms with batched incomplete adds, and fix the offset sum with one
+    complete add at the end. Returns a (x, y, inf) triple of driver
+    values. pairs: [(host_affine_point, lo_share, hi_share)]."""
+    import hashlib
+
+    from ..mpc.rep3_ring import Rep3Ring, read_public_luts_many
+    from ..mpc.rep3_scalar import BShare
+
+    W = 4
+    NWIN = 256 // W  # lo and hi give 128 bits each
+    fp = d.pr
+    ring = Rep3Ring(fp.net, fp.rng, 32)
+    p = fp.p
+
+    def rho(tag: bytes) -> int:
+        h = hashlib.blake2b(b"cosnarks-msm-offset" + tag,
+                            digest_size=32).digest()
+        return int.from_bytes(h, "big")
+
+    # bit-decompose all limbs in one batch
+    limb_shares = []
+    for _, lo, hi in pairs:
+        limb_shares += [d.to_share(lo), d.to_share(hi)]
+    bits = fp.a2b_many(limb_shares)
+
+    luts, idxs, offsets = [], [], []
+    for pi, (base, _lo, _hi) in enumerate(pairs):
+        blo, bhi = bits[2 * pi], bits[2 * pi + 1]
+        # component high bits XOR to zero (value < 2^128) but are not
+        # individually zero: mask them before packing the two limbs
+        m128 = (1 << 128) - 1
+        sbits = BShare((blo.a & m128) | ((bhi.a & m128) << 128),
+                       (blo.b & m128) | ((bhi.b & m128) << 128))
+        base_l = hc.lift_affine(base)
+        for j in range(NWIN):
+            off = hc.mul(hc.generator, rho(b"%d-%d" % (pi, j)))
+            offsets.append(off)
+            step = hc.mul(base_l, 1 << (W * j))
+            xs, ys = [], []
+            t = off
+            for dd in range(1 << W):
+                ax, ay = hc.affine_ints(t)
+                xs.append(ax)
+                ys.append(ay)
+                t = hc.add(t, step)
+            luts.append((xs, ys))
+            idxs.append(BShare((sbits.a >> (W * j)) & 0xF,
+                               (sbits.b >> (W * j)) & 0xF, W))
+    terms = [list(t) for t in
+             read_public_luts_many(ring, fp, luts, idxs, W)]
+
+    while len(terms) > 1:
+        half = len(terms) // 2
+        merged = _shared_incomplete_add_many(
+            d, terms[:half], terms[half:2 * half])
+        rest = terms[2 * half:]
+        terms = [list(t) for t in merged] + rest
+    acc_x, acc_y = terms[0]
+
+    corr = None
+    for off in offsets:
+        corr = off if corr is None else hc.add(corr, off)
+    cx, cy = hc.affine_ints(hc.neg(corr))
+    return _shared_complete_add(d, (acc_x, acc_y, 0), (cx, cy, 0))

@@ -38,6 +38,8 @@ PROGRAMS = [
     "blake3",
     "aes128",
     "embedded_curve_add",
+    "pedersen_commitment",
+    "pedersen_hash",
     pytest.param("recursion_zk", marks=pytest.mark.xfail(
         reason="shipped Prover.toml is stale vs its KAT witness stack "
                "(raw input values differ)")),
@@ -49,9 +51,7 @@ PROGRAMS = [
     "write_access",
 ]
 
-# fixed-base pedersen over shared scalars (shared-point scalar-mul chain)
-# is still plain-side only
-PLAIN_ONLY = ["pedersen_commitment", "pedersen_hash"]
+PLAIN_ONLY = []
 
 
 def _load(name):
