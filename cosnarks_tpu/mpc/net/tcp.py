@@ -97,8 +97,22 @@ class TcpNetwork(Network):
         data = wire.encode(msg, self.max_frame_length)
         self._count(to, len(data), sent=True)
         key = (to, self._send_chan(to) if self.duplex_split else chan)
+        hdr = struct.pack("<I", len(data))
         with self._lock[key]:
-            self._socks[key].sendall(struct.pack("<I", len(data)) + data)
+            sock = self._socks[key]
+            try:
+                # scatter-gather write: no header+payload concat copy
+                bufs = [hdr, data]
+                while bufs:
+                    n = sock.sendmsg(bufs)
+                    while bufs and n >= len(bufs[0]):
+                        n -= len(bufs[0])
+                        bufs.pop(0)
+                    if bufs and n:
+                        bufs[0] = bufs[0][n:]
+            except NotImplementedError:  # ssl.SSLSocket has no sendmsg
+                sock.sendall(hdr)
+                sock.sendall(data)
 
     def recv(self, frm: int, chan: int = 0):
         msg = self._inbox[(frm, 0 if self.duplex_split else chan)].get(
@@ -207,13 +221,22 @@ def _setup_sock(s: socket.socket):
     s.settimeout(None)
     s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     s.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+    for opt in (socket.SO_RCVBUF, socket.SO_SNDBUF):
+        try:
+            s.setsockopt(socket.SOL_SOCKET, opt, 4 << 20)
+        except OSError:
+            pass
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = bytearray()
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
+    # recv_into a preallocated buffer: one allocation, no per-chunk copies
+    # (the extend()-based loop capped localhost bulk throughput ~0.7 Gbit/s)
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:])
+        if r == 0:
             raise ConnectionError("socket closed")
-        buf.extend(chunk)
+        got += r
     return bytes(buf)

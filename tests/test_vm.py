@@ -275,3 +275,67 @@ def test_kat_rep3_batched(name):
     wits = combine_witnesses_batch(res, BN254_FR, B)
     for L in range(B):
         assert wits[L] == plain_wits[L], f"lane {L} mismatch"
+
+
+# -- Shamir VM driver (arithmetic circuits; 3 parties, t=1) -------------------
+
+SHAMIR_KATS = ["multiplier2", "mimc_test", "control_flow"]
+
+
+@pytest.mark.parametrize("name", [k for k in SHAMIR_KATS if k in ALL_KATS])
+def test_kat_shamir(name):
+    """Shamir witness extension on arithmetic circuits vs the circom wtns
+    (vm/shamir_driver.py; reference circom-mpc-vm mpc/shamir.rs — bit ops
+    are out of domain there too and raise)."""
+    from cosnarks_tpu.mpc.net.local import run_parties
+    from cosnarks_tpu.vm import shamir_driver as sd
+
+    prog = lang.load_program(
+        TESTS + name + ".circom", search_paths=[TESTS, TESTS + "libs"]
+    )
+    ran = 0
+    for i in range(3):
+        path = KATS + name + f"/input{i}.json"
+        if not os.path.exists(path):
+            continue
+        inp = json.loads(open(path).read())
+
+        def share_tree(v):
+            if isinstance(v, (list, tuple)):
+                parts = [share_tree(x) for x in v]
+                return [[q[k] for q in parts] for k in range(3)]
+            return sd.share_value(BN254_FR, int(v), 3, 1)
+
+        shared = [{}, {}, {}]
+        for key, v in inp.items():
+            r = share_tree(v)
+            for k in range(3):
+                shared[k][key] = r[k]
+
+        def party(k):
+            def go(net):
+                drv = sd.setup_shamir_vm(net, BN254_FR, t=1,
+                                         seed=bytes([3]) * 32)
+                vm = interp.WitnessVM(prog, BN254_FR, driver=drv)
+                main = vm.run(shared[k])
+                return witness.witness_vector(vm, main)
+
+            return go
+
+        res = run_parties([party(0), party(1), party(2)], timeout=600.0)
+        _, w = wtns.load_wtns(KATS + name + f"/witness{i}.wtns")
+        exp = [limbs_to_int(x) for x in w]
+        n = len(res[0])
+        got = []
+        for j in range(n):
+            vals = [r[j] for r in res]
+            if all(not isinstance(v, sd.SShare) for v in vals):
+                got.append(int(vals[0]) % BN254_FR.p)
+            else:
+                shs = [v if isinstance(v, sd.SShare)
+                       else sd.SShare(int(v) % BN254_FR.p) for v in vals]
+                got.append(sd.combine_shares(BN254_FR, shs, [0, 1, 2]))
+        if len(exp) == len(got):
+            assert got == exp, f"{name} input{i}: Shamir witness mismatch"
+        ran += 1
+    assert ran > 0
