@@ -264,9 +264,16 @@ def synthetic_zkey(n_constraints: int, seed: bytes = b"cosnarks-bench",
 
 
 def cached_synthetic_zkey(n_constraints: int, cache_dir: str | None = None):
-    cache_dir = cache_dir or os.environ.get("COSNARKS_ZKEY_CACHE",
-                                            "/tmp/cosnarks_zkeys")
-    os.makedirs(cache_dir, exist_ok=True)
+    if cache_dir is None:
+        cache_dir = os.environ.get("COSNARKS_ZKEY_CACHE")
+    if cache_dir is None:
+        # user-scoped 0700 cache: a fixed world-writable /tmp path would
+        # let another local user pre-seed a poisoned zkey
+        from ..honk.crs import cache_home
+
+        cache_dir = cache_home("zkeys")
+    else:
+        os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"synthetic_{n_constraints}.npz")
     if os.path.exists(path):
         data = np.load(path)

@@ -150,16 +150,51 @@ def cached_local_crs(n: int) -> Crs:
     while size < n:
         size *= 2
     if size not in _CRS_CACHE:
-        cache_dir = os.environ.get("COSNARKS_CRS_CACHE",
-                                   os.path.join("/tmp", "cosnarks_crs"))
-        os.makedirs(cache_dir, exist_ok=True)
+        cache_dir = cache_home("crs")
         g1p = os.path.join(cache_dir, f"local_bn254_g1_{size}.dat")
         g2p = os.path.join(cache_dir, f"local_bn254_g2_{size}.dat")
         if os.path.exists(g1p) and os.path.exists(g2p):
-            _CRS_CACHE[size] = Crs(read_g1_dat(g1p, size), read_g2_dat(g2p))
+            crs = Crs(read_g1_dat(g1p, size), read_g2_dat(g2p))
+            _check_local_crs(crs)
+            _CRS_CACHE[size] = crs
         else:
             crs = local_crs(size)
             write_g1_dat(g1p, crs.monomials)
             write_g2_dat(g2p, crs.g2_x)
             _CRS_CACHE[size] = crs
     return _CRS_CACHE[size]
+
+
+def cache_home(sub: str) -> str:
+    """User-scoped cache directory (mode 0700): a fixed world-writable
+    /tmp path would let another local user pre-seed poisoned artifacts
+    that silently change what prove/verify compute."""
+    root = os.environ.get("COSNARKS_CACHE",
+                          os.path.join(os.path.expanduser("~"),
+                                       ".cache", "cosnarks"))
+    path = os.path.join(root, sub)
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(root, 0o700)
+    except OSError:  # pragma: no cover - root may be ~/.cache itself
+        pass
+    return path
+
+
+def _check_local_crs(crs: Crs) -> None:
+    """Integrity check for cache loads: the known-tau structure must hold
+    (monomials[0] = G1, monomials[1] = tau*G1, g2_x = tau*G2). Catches a
+    corrupted or tampered cache file before it reaches prove/verify."""
+    g1 = host_curve(curves.BN254_G1)
+    g2 = host_curve(curves.BN254_G2)
+    ok = (crs.monomials[0] == curves.BN254_G1.generator
+          and len(crs.monomials) >= 2
+          and crs.monomials[1] == g1.affine_ints(
+              _fixed_base_mul(g1, _fixed_base_table(
+                  g1, curves.BN254_G1.generator), _LOCAL_TAU))
+          and crs.g2_x == g2.affine_ints(
+              g2.mul(g2.lift_affine(curves.BN254_G2.generator), _LOCAL_TAU)))
+    if not ok:
+        raise ValueError(
+            "cached local CRS failed its integrity check (delete the "
+            "COSNARKS_CACHE crs directory and regenerate)")

@@ -123,7 +123,11 @@ class VerifyingKey:
             else:
                 x = two_fr_to_fq(words[pos], words[pos + 1])
                 y = two_fr_to_fq(words[pos + 2], words[pos + 3])
-            commitments.append(None if x == 0 and y == 0 else (x, y))
+            from .transcript import validate_g1
+
+            commitments.append(
+                validate_g1(None if x == 0 and y == 0 else (x, y),
+                            "vk_commitment"))
             pos += per
         if len(commitments) != len(PRECOMPUTED):
             raise ValueError("bad verification key length")

@@ -222,6 +222,21 @@ class KeccakHasher:
 HASHERS = {"poseidon2": Poseidon2Hasher, "keccak": KeccakHasher}
 
 
+def validate_g1(pt, label: str = "point"):
+    """Reject off-curve proof/vk points (invalid-curve attack surface).
+
+    The reference constructs ark G1Affine values, which assert on-curve +
+    subgroup membership on deserialization; BN254 G1 is prime-order, so the
+    curve equation y^2 = x^3 + 3 over Fq suffices. Infinity (None) passes.
+    """
+    if pt is None:
+        return None
+    x, y = pt[0] % Q, pt[1] % Q
+    if (y * y - (x * x * x + 3)) % Q:
+        raise ValueError(f"proof point {label!r} is not on BN254 G1")
+    return (x, y)
+
+
 class Transcript:
     """Prover/verifier transcript (transcript.rs:117-458)."""
 
@@ -285,7 +300,8 @@ class Transcript:
         return [self.receive_fr(label) for _ in range(n)]
 
     def receive_point(self, label: str):
-        return self.h.point_back(self._receive(2 * self.h.NUM_BASEFIELD_ELEMENTS))
+        pt = self.h.point_back(self._receive(2 * self.h.NUM_BASEFIELD_ELEMENTS))
+        return validate_g1(pt, label)
 
     # -- challenges ---------------------------------------------------------
     def _next_duplex(self) -> tuple[int, int]:

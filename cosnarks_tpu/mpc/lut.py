@@ -59,6 +59,11 @@ class Rep3LookupTableProvider:
     init_private = init_public
 
     def _index_bits(self, index, n: int) -> BShare:
+        """PRECONDITION: the shared index must be < 2^ceil(log2 n) — bits
+        above k are dropped here (an index that large is a protocol error
+        upstream). Indices in [n, 2^k) for non-power-of-two tables are
+        caught by the OHV range check inside the gadgets (one opened
+        error bit, rep3_ring._check_ohv_range)."""
         k = max(1, (n - 1).bit_length())
         if not isinstance(index, (AShare, BShare)):
             # public index against a shared table still routes through the

@@ -44,7 +44,25 @@ class TcpSessionHandler:
                  timeout: float = 30.0,
                  max_frame_length: int = wire.MAX_FRAME_LENGTH,
                  recv_timeout: float = 300.0,
-                 time_to_idle: float = 30.0):
+                 time_to_idle: float = 30.0,
+                 server_wrap=None, client_wrap=None,
+                 insecure_plaintext: bool = False):
+        """`server_wrap(sock)` / `client_wrap(sock, peer_id)` are the same
+        TLS hooks as `form_mesh` (net/tcp.py): the handler wraps every
+        accepted/dialed connection BEFORE the session handshake, so the
+        (party, chan, session) claim is only read over an authenticated
+        channel and `verify_peer` binds it to the peer's certificate.
+        Plaintext sessions require an explicit `insecure_plaintext=True`
+        (the config layer sets the same bar; the reference tcp_session is
+        plaintext-only, mpc-net/src/tcp_session.rs)."""
+        if server_wrap is None and client_wrap is None \
+                and not insecure_plaintext:
+            raise ValueError(
+                "TcpSessionHandler without TLS wrap hooks accepts "
+                "unauthenticated plaintext peers; pass server_wrap/"
+                "client_wrap (see TlsNetwork) or insecure_plaintext=True")
+        self._server_wrap = server_wrap
+        self._client_wrap = client_wrap
         self.id = my_id
         self.addrs = addrs
         self.n_parties = len(addrs)
@@ -74,9 +92,15 @@ class TcpSessionHandler:
             except OSError:
                 return
             try:
+                verify = None
+                if self._server_wrap is not None:
+                    conn, verify = self._server_wrap(conn)
                 peer, chan, sid = _HS.unpack(_recv_exact(conn, _HS.size))
+                if verify is not None:
+                    verify(peer)
                 _setup_sock(conn)
-            except OSError:
+            except (OSError, ValueError):
+                # unauthenticated/garbled dialer: drop the connection
                 conn.close()
                 continue
             with self._cv:
@@ -109,6 +133,8 @@ class TcpSessionHandler:
                         if time.time() > deadline:
                             raise TimeoutError(f"cannot reach party {p}")
                         time.sleep(0.05)
+                if self._client_wrap is not None:
+                    c = self._client_wrap(c, p)
                 c.sendall(_HS.pack(self.id, chan, sid))
                 _setup_sock(c)
                 socks[(p, chan)] = c

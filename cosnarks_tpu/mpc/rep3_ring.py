@@ -385,6 +385,30 @@ def unpack_bits(e: BShare, n: int) -> list[BShare]:
     return [BShare((e.a >> j) & 1, (e.b >> j) & 1, 1) for j in range(n)]
 
 
+def _ohv_range_err(e: BShare, badmask: int) -> BShare:
+    """1-bit share of "the OHV selects a slot outside the table".
+
+    A one-hot vector has at most ONE set bit in total, so OR over the
+    masked-out positions equals XOR over them — and XOR of XOR-shared bits
+    is a LOCAL parity per replicated half. Opening the single resulting bit
+    reveals only the in-range/out-of-range predicate (which is a protocol
+    error either way), never the index."""
+    pa = bin(e.a & badmask).count("1") & 1
+    pb = bin(e.b & badmask).count("1") & 1
+    return BShare(pa, pb, 1)
+
+
+def _check_ohv_range(ring: Rep3Ring, e: BShare, badmask: int, what: str):
+    if badmask == 0:
+        return
+    err = _ohv_range_err(e, badmask)
+    if ring.open_bits(BShare(err.a, err.b, ring.k)) & 1:
+        raise ValueError(
+            f"{what}: shared index selects a slot outside the table "
+            f"(index >= table length; non-power-of-two tables reject "
+            f"out-of-range indices instead of returning a zero share)")
+
+
 # =============================================================================
 # LUT gadgets (rep3_ring/gadgets/lut_field.rs; Protocol 4 of 2024/1317)
 # =============================================================================
@@ -412,6 +436,11 @@ def read_public_lut(ring: Rep3Ring, fp: Rep3Scalar, lut: list[int],
     kmask = (1 << k) - 1
     c = ring.open_bits(BShare((r.a ^ index_bits.a) & kmask,
                               (r.b ^ index_bits.b) & kmask)) & kmask
+    badmask = 0
+    for j in range(1 << k):
+        if (j ^ c) >= n:
+            badmask |= 1 << j
+    _check_ohv_range(ring, e, badmask, "read_public_lut")
     ta = tb = 0
     for j in range(1 << k):
         idx = j ^ c
@@ -436,6 +465,8 @@ def read_shared_lut(ring: Rep3Ring, fp: Rep3Scalar,
     n = len(lut)
     k = max(1, (n - 1).bit_length())
     e = ohv_from_bits(ring, index_bits, k)
+    _check_ohv_range(ring, e, ((1 << (1 << k)) - 1) ^ ((1 << n) - 1),
+                     "read_shared_lut")
     es = fp.bit_inject_many(unpack_bits(e, n))
     return _dot_open_masked(fp, es, lut)
 
@@ -447,6 +478,8 @@ def write_lut(ring: Rep3Ring, fp: Rep3Scalar, value: AShare,
     n = len(lut)
     k = max(1, (n - 1).bit_length())
     e = ohv_from_bits(ring, index_bits, k)
+    _check_ohv_range(ring, e, ((1 << (1 << k)) - 1) ^ ((1 << n) - 1),
+                     "write_lut")
     es = fp.bit_inject_many(unpack_bits(e, n))
     p = fp.p
     local = []

@@ -442,6 +442,61 @@ def test_noir_cli_dealer_free_pipeline(tmp_path):
     for k in range(3):
         assert open(f"{d}/proof.{k}", "rb").read() == plain
 
-    ncli.main(["verify", "--proof", f"{d}/proof.0",
-               "--public-input", f"{d}/pub.0",
-               "--vk", f"{d}/plain.vk", "--hasher", "KECCAK"])
+    assert ncli.main(["verify", "--proof", f"{d}/proof.0",
+                      "--public-input", f"{d}/pub.0",
+                      "--vk", f"{d}/plain.vk", "--hasher", "KECCAK"]) == 0
+
+
+def test_noir_cli_build_and_generate_proof(tmp_path):
+    """One-shot BuildAndGenerateProof (reference co-noir.rs
+    Commands::BuildAndGenerateProof): shared witness in, proof out, no
+    intermediate proving-key files on disk; byte-identical to the plain
+    prover's proof."""
+    import threading
+
+    from cosnarks_tpu.noir import cli as ncli
+
+    name = "if_then"
+    circuit = f"{REF}/{name}/kat/{name}.json"
+    d = str(tmp_path)
+
+    ncli.main(["prove", "--circuit", circuit,
+               "--witness", f"{REF}/{name}/kat/{name}.gz",
+               "--hasher", "KECCAK",
+               "--out", f"{d}/plain.proof",
+               "--public-input", f"{d}/plain.pub",
+               "--vk", f"{d}/plain.vk"])
+    ncli.main(["split-witness", "--witness", f"{REF}/{name}/kat/{name}.gz",
+               "--out-dir", d])
+
+    ports = [18876, 18877, 18878]
+    for k in range(3):
+        lines = [f"my_id = {k}", "insecure_plaintext = true"]
+        for j in range(3):
+            lines += ["", "[[parties]]", f"id = {j}",
+                      f'dns_name = "127.0.0.1:{ports[j]}"']
+        (tmp_path / f"party{k}.toml").write_text("\n".join(lines))
+
+    errs = []
+
+    def party(k):
+        try:
+            ncli.main(["build-and-generate-proof", "--circuit", circuit,
+                       "--witness", f"{d}/{name}.gz.{k}.shared",
+                       "--hasher", "KECCAK",
+                       "--config", f"{d}/party{k}.toml",
+                       "--out", f"{d}/proof.{k}",
+                       "--public-input", f"{d}/pub.{k}"])
+        except Exception as e:  # noqa: BLE001
+            errs.append((k, e))
+
+    ts = [threading.Thread(target=party, args=(k,)) for k in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(600)
+    assert not errs, errs
+
+    plain = open(f"{d}/plain.proof", "rb").read()
+    for k in range(3):
+        assert open(f"{d}/proof.{k}", "rb").read() == plain

@@ -221,7 +221,8 @@ def test_tcp_session_handler():
 
     def party(i):
         try:
-            h = TcpSessionHandler(i, addrs, timeout=20.0)
+            h = TcpSessionHandler(i, addrs, timeout=20.0,
+                                  insecure_plaintext=True)
             out = []
             for sid in (b"job-A", b"job-B"):
                 net = h.init_session(sid)
@@ -242,3 +243,14 @@ def test_tcp_session_handler():
     for i in range(3):
         assert results[i][0] == ((i - 1) % 3, b"job-A")
         assert results[i][1] == ((i - 1) % 3, b"job-B")
+
+
+def test_tcp_session_requires_tls_or_optin():
+    """Plaintext ephemeral sessions need the same explicit opt-in as
+    NetworkConfig.connect (ADVICE r3): no wrap hooks + no flag = refused."""
+    import pytest
+
+    from cosnarks_tpu.mpc.net.tcp_session import TcpSessionHandler
+
+    with pytest.raises(ValueError, match="insecure_plaintext"):
+        TcpSessionHandler(0, [("127.0.0.1", 18890)])
