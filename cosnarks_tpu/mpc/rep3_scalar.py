@@ -131,6 +131,16 @@ class HostRng:
         key_next). Stream label must match their solo_mine label."""
         return self._draw(self._kn, stream, self._next("next", stream)) % p
 
+    def solo_mine_bits(self, nbits: int, stream: bytes = b"sb") -> int:
+        """nbits (<= 512) shared with the PREVIOUS party (pair with their
+        solo_next_bits on the same stream label)."""
+        v = self._draw(self._km, stream, self._next("mineb", stream))
+        return v & ((1 << nbits) - 1)
+
+    def solo_next_bits(self, nbits: int, stream: bytes = b"sb") -> int:
+        v = self._draw(self._kn, stream, self._next("nextb", stream))
+        return v & ((1 << nbits) - 1)
+
 
 class Rep3Scalar:
     """One party's scalar protocol context: id + rng + network + field."""

@@ -80,13 +80,28 @@ class Rep3Driver:
         return r
 
     def _bin(self, x) -> BShare:
-        """AShare -> BShare via A2B Direct (cached). x must be shared."""
+        """AShare -> BShare (cached). x must be shared.
+
+        Default: A2B Direct (log-depth Kogge-Stone rounds, the TPU/LAN
+        fit). COSNARKS_A2B=yao routes through the garbled adder-mod-p
+        (mpc/yao.py): constant TWO messages per conversion — the
+        reference's default — which wins when round latency dominates
+        (WAN deployments)."""
         if isinstance(x, BShare):
             return x
         hit = self._bcache.get(id(x))
         if hit is not None and hit[0] is x:
             return hit[1]
-        r = self.pr.a2b(x)
+        import os
+
+        if os.environ.get("COSNARKS_A2B", "direct").lower() == "yao":
+            if not hasattr(self, "_yao"):
+                from ..mpc.yao import Rep3Yao
+
+                self._yao = Rep3Yao(self.pr)
+            r = self._yao.a2b_many([x])[0]
+        else:
+            r = self.pr.a2b(x)
         r = BShare(r.a, r.b, self.pr.k)
         if len(self._bcache) > _CACHE_CAP:
             self._bcache.clear()

@@ -1,0 +1,129 @@
+"""Yao garbled-circuit engine tests (mpc/yao.py, mpc/yao_circuits.py).
+
+Mirrors the reference's yao conversion tests (tests/tests/mpc/rep3.rs
+yao sections): half-gate truth tables, plain circuit semantics, and
+3-party a2y/y2b/y2a round-trips over LocalNetwork.
+"""
+
+import random
+
+from cosnarks_tpu.ff.spec import BN254_FR
+from cosnarks_tpu.mpc.net.local import run_parties
+from cosnarks_tpu.mpc.rep3_scalar import HostRng, Rep3Scalar
+from cosnarks_tpu.mpc import yao, yao_circuits as yc
+
+P = BN254_FR.p
+R = random.Random(0xFACE)
+
+
+def _keys():
+    ks = [R.randbytes(32) for _ in range(3)]
+    return [HostRng(ks[i], ks[(i + 1) % 3]) for i in range(3)]
+
+
+def _fake_shared(seed: int) -> yao._GarblerShared:
+    rnd = random.Random(seed)
+    return yao._GarblerShared(lambda s, c: rnd.getrandbits(512))
+
+
+def test_half_gate_truth_table():
+    """Garble one AND; evaluate all four input combinations; labels must
+    decode to a & b and match the garbler's zero-label/delta algebra."""
+    for seed in (1, 2, 3):
+        g = yao.Garbler(_fake_shared(seed))
+        a0 = g.sh.fresh_label()
+        b0 = g.sh.fresh_label()
+        c0 = g.and_(a0, b0)
+        circuit = g.circuit_bytes()
+        d = g.delta
+        for va in (0, 1):
+            for vb in (0, 1):
+                ev = yao.Evaluator(circuit)
+                wa = a0 ^ (d if va else 0)
+                wb = b0 ^ (d if vb else 0)
+                wc = ev.and_(wa, wb)
+                want = c0 ^ (d if va & vb else 0)
+                assert wc == want, (seed, va, vb)
+
+
+class PlainFancy:
+    """Constant-only backend: every value stays a bool, so vand/vxor fold
+    and f is never called — used to check circuit semantics."""
+
+    def xor(self, a, b):  # pragma: no cover - all inputs are consts
+        raise AssertionError("plain circuit should fully fold")
+
+    and_ = xor
+    not_ = xor
+
+
+def test_adder_mod_p_plain_semantics():
+    f = PlainFancy()
+    for _ in range(20):
+        xs = [R.randrange(P) for _ in range(3)]
+        nb = P.bit_length()
+        ins = [[bool((x >> i) & 1) for i in range(nb)] for x in xs]
+        pbits = [(P >> i) & 1 for i in range(nb + 2)]
+        # _materialize needs a wire for constant outputs; give a fake int
+        out = yc.adder_mod_p_3(f, ins[0], ins[1], ins[2], pbits)
+        got = sum((1 << i) for i, b in enumerate(out) if b is True)
+        assert got == sum(xs) % P
+
+
+def _run(fn, values):
+    rngs = _keys()
+    shared = [Rep3Scalar.share(v, P) for v in values]
+
+    def party(i):
+        def go(net):
+            proto = Rep3Scalar(net, rngs[i], P)
+            engine = yao.Rep3Yao(proto)
+            return fn(engine, [s[i] for s in shared])
+
+        return go
+
+    return run_parties([party(0), party(1), party(2)])
+
+
+def _combine_bin(results, idx):
+    shares = [r[idx] for r in results]
+    for i in range(3):
+        assert shares[i].b == shares[(i + 1) % 3].a
+    return shares[0].a ^ shares[1].a ^ shares[2].a
+
+
+def test_a2b_yao_roundtrip():
+    """a2y (garbled adder mod p) + y2b == the plain value in binary."""
+    values = [R.randrange(P) for _ in range(3)] + [0, P - 1]
+    res = _run(lambda e, xs: e.a2b_many(xs), values)
+    for i, v in enumerate(values):
+        assert _combine_bin(res, i) == v
+
+
+def test_b2y_y2b_roundtrip():
+    """b2y (free XOR recombine) then y2b preserves the binary value."""
+    values = [R.randrange(P) for _ in range(2)]
+
+    def go(e, xs):
+        bs = e.fp.a2b_many(xs)  # direct path to get BShares
+        wires = e.b2y_many(bs)
+        return e.y2b_many(wires)
+
+    res = _run(go, values)
+    for i, v in enumerate(values):
+        assert _combine_bin(res, i) == v
+
+
+def test_y2a_roundtrip():
+    values = [R.randrange(P) for _ in range(2)]
+
+    def go(e, xs):
+        from cosnarks_tpu.mpc import yao_circuits as yc2
+
+        wires = e.a2y_many(xs, yc2.adder_mod_p_3)
+        return e.y2a_many(wires)
+
+    res = _run(go, values)
+    for i, v in enumerate(values):
+        got = Rep3Scalar.combine([r[i] for r in res], P)
+        assert got == v
