@@ -409,6 +409,51 @@ def cmd_generate_proof(args):
 _FMT_PK = "cosnarks-noir-shared-pk"
 
 
+def cmd_build_and_generate_proof(args):
+    """BuildProvingKey + GenerateProof in one run without touching disk
+    between the phases (co-noir.rs Commands::BuildAndGenerateProof)."""
+    import tempfile
+    import types
+
+    with tempfile.TemporaryDirectory() as d:
+        bargs = types.SimpleNamespace(
+            circuit=args.circuit, witness=args.witness,
+            config=args.config, out_dir=d)
+        cmd_build_proving_key(bargs)
+        # the pk share file carries the party id in its name; find it
+        pk_share = [f for f in os.listdir(d) if f.startswith("pk.")][0]
+        gargs = types.SimpleNamespace(
+            proving_key=os.path.join(d, pk_share),
+            proving_key_public=os.path.join(d, "pk_public.npz"),
+            config=args.config, out=args.out,
+            public_input=args.public_input,
+            crs_g1=args.crs_g1, crs_g2=args.crs_g2, hasher=args.hasher)
+        return cmd_generate_proof(gargs)
+
+
+def cmd_download_crs(args):
+    """Reference download_g1_crs fetches `num_points` of the Aztec
+    ignition bn254_g1.dat over HTTPS (co-noir/src/lib.rs:468). This build
+    runs with zero egress, so: --source slices an existing .dat, else the
+    LOCAL KNOWN-TAU CRS is generated (self-consistent pairing checks, NOT
+    secure: the trapdoor is a public constant)."""
+    from ..honk import crs as hcrs
+
+    n = max(1, int(args.num_points))
+    if args.source:
+        pts = hcrs.read_g1_dat(args.source, n)
+    else:
+        size = 1
+        while size < n:
+            size *= 2
+        pts = hcrs.cached_local_crs(size).monomials[:n]
+        print("warning: wrote LOCAL KNOWN-TAU CRS (testing only; "
+              "pass --source for a real ignition .dat)")
+    hcrs.write_g1_dat(args.crs, pts)
+    print(f"wrote {args.crs} ({n} points)")
+    return 0
+
+
 def cmd_circuit_info(args):
     art = acir.load_artifact(args.circuit)
     fn = art.functions[0]
@@ -522,6 +567,30 @@ def main(argv=None):
     p.add_argument("--public-input", required=True)
     crs_args(p)
     p.set_defaults(fn=cmd_generate_proof)
+
+    p = sub.add_parser(
+        "build-and-generate-proof",
+        help="build-proving-key + generate-proof in one session "
+             "(reference BuildAndGenerateProof)")
+    p.add_argument("--circuit", required=True)
+    p.add_argument("--witness", required=True,
+                   help="this party's witness.<i>.shared")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--public-input", required=True)
+    crs_args(p)
+    p.set_defaults(fn=cmd_build_and_generate_proof)
+
+    p = sub.add_parser(
+        "download-crs",
+        help="materialize a bn254_g1.dat CRS file (reference DownloadCrs "
+             "fetches the Aztec ignition CRS; in a zero-egress build this "
+             "copies --source, or writes the LOCAL KNOWN-TAU testing CRS "
+             "— not secure for production proofs)")
+    p.add_argument("--crs", required=True, help="output .dat path")
+    p.add_argument("--num-points", type=int, default=1)
+    p.add_argument("--source", help="existing bn254_g1.dat to slice from")
+    p.set_defaults(fn=cmd_download_crs)
 
     args = ap.parse_args(argv)
     return args.fn(args)
