@@ -85,6 +85,26 @@ def signed_digits(spec: CurveSpec, scalars_std, c: int):
 CHUNK_K = 32  # points folded sequentially per lane per level
 
 
+def _sort_by_bucket(bucket, c: int, N: int):
+    """(nwin, N) bucket ids -> (order, sortedb). Single-key unstable sort
+    with the point index packed below the bucket id when it fits in u32
+    (~1.3x faster than stable argsort on TPU); key-value unstable sort
+    otherwise. Stability is irrelevant: any order within a bucket works."""
+    idx_bits = max(1, (N - 1).bit_length())
+    if c + idx_bits <= 32:  # bucket id <= 2^(c-1) needs c bits
+        keys = (bucket.astype(jnp.uint32) << idx_bits) | jnp.arange(
+            N, dtype=jnp.uint32)[None, :]
+        skeys = jax.lax.sort(keys, dimension=1, is_stable=False)
+        order = (skeys & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
+        sortedb = (skeys >> idx_bits).astype(jnp.int32)
+        return order, sortedb
+    iota = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], bucket.shape)
+    sortedb, order = jax.lax.sort(
+        (bucket, iota), dimension=1, is_stable=False, num_keys=1)
+    return order, sortedb
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
     """Full MSM: signed digits -> sorted buckets -> chunked segmented
@@ -110,8 +130,7 @@ def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
     bucket = jnp.abs(digits).astype(jnp.int32)
     sign = digits < 0
 
-    order = jnp.argsort(bucket, axis=1)  # (nwin, N) stable
-    sortedb = jnp.take_along_axis(bucket, order, axis=1)
+    order, sortedb = _sort_by_bucket(bucket, c, N)
     sorted_sign = jnp.take_along_axis(sign, order, axis=1)
 
     acc = _bucket_accumulate(
@@ -121,6 +140,64 @@ def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
     buckets = tuple(x[:, 1:] for x in acc)
     wsums = _weighted_bucket_sum(spec, buckets)  # (nwin,)
     return _horner_combine(spec, wsums, c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _pippenger_wsums(spec: CurveSpec, pts, scalars_std, c: int):
+    """Alternative split: device graph to per-window weighted bucket sums
+    (bucket reduction as one Pallas launch), Horner on the host.
+
+    MEASURED SLOWER than _pippenger_signed on v5e at 2^16/c=13 (the XLA
+    scheduler overlaps the many small reduction dispatches with level-0
+    compute, while the monolithic wreduce kernel serializes ~50K complete
+    add-lanes per window); kept for profiling and as the building block
+    for a future multi-chip reduction, not used by msm()."""
+    from . import pallas_ec
+
+    o = spec.ops
+    X, Y, Z = pts
+    N = X.shape[0]
+    B = (1 << (c - 1)) + 1
+    inf_in = o.is_zero(Z)
+    digits = signed_digits(spec, scalars_std, c)
+    nwin = digits.shape[0]
+    bucket = jnp.abs(digits).astype(jnp.int32)
+    sign = digits < 0
+    order, sortedb = _sort_by_bucket(bucket, c, N)
+    sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+    acc = _bucket_accumulate(
+        spec, order, sortedb, sorted_sign, X, Y, inf_in, B, nwin)
+    buckets = tuple(x[:, 1:] for x in acc)
+    return pallas_ec.weighted_bucket_sum(spec, buckets)
+
+
+def _host_horner(spec: CurveSpec, wsums, c: int):
+    """sum_w 2^(c*w) W_w on the host: the window sums are a ~4 KB fetch,
+    and the python-int ladder beats dispatching c*(nwin-1) sequential
+    1-lane doubling kernels by ~50 ms per MSM."""
+    from . import host
+
+    pts = ec.decode_points(spec, wsums)
+    hc = host.host_curve(spec)
+    acc = None
+    for pt in reversed(pts):
+        if acc is not None:
+            for _ in range(c):
+                acc = hc.double(acc)
+        acc = hc.add(acc, hc.lift_affine(pt))
+    single = ec.encode_points(spec, [hc.affine_ints(acc)])
+    return tuple(x[0] for x in single)
+
+
+def _fused_reduce_ok(spec: CurveSpec, c: int) -> bool:
+    from .ops import FqOps
+
+    if type(spec.ops) is not FqOps or c < 9:
+        return False  # tiny windows: XLA reduction is already cheap
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def _weighted_bucket_sum(spec: CurveSpec, buckets):

@@ -184,6 +184,127 @@ def _madd_call(spec: CurveSpec, total: int, tile: int, masked: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _wreduce_call(spec: CurveSpec, nwin: int, W: int):
+    """One grid cell per window: load that window's W bucket points as
+    (8, W/8) limb tiles, compute  sum_j (j+1) * S_j  entirely in VMEM,
+    store one Jacobian point (padded to an (8, n) block).
+
+    Replaces the XLA-level msm._weighted_bucket_sum whose ~70 shrinking
+    batched-add dispatches are dominated by per-dispatch latency, not by
+    the ~2B complete adds of math. Weight-split identity with j = H*l + h:
+      sum_j (j+1) S_j = H * sum_l l*R_l + sum_h (h+1)*C_h
+    and both weighted sums come from DOUBLE SUFFIX ladders
+    (sum_h (h+1) C_h = U_0,  sum_l l*R_l = U_1,  U = suffix(suffix(.))),
+    implemented as fori_loops over dynamic-shift rolls so the kernel has
+    ~10 group-op callsites regardless of W (unrolled trees took Mosaic
+    minutes per callsite to compile).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.ops.field.nlimbs
+    kspec = _lane_spec(spec)
+    L = 8
+    H = W // L
+
+    def ladder(pts, width, shape):
+        """suffix[j] = sum_{j' >= j} pts[j'] along the lane axis.
+
+        Wide (lane-aligned) ladders run as a fori_loop over dynamic-shift
+        rolls — one add callsite for all log2(width) levels (Mosaic takes
+        minutes per unrolled complete-add callsite). Narrow ladders
+        (tpu.dynamic_rotate rejects lane dims not multiple of 128) unroll
+        with static rolls."""
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        zero = tuple(jnp.zeros(shape, jnp.uint32) for _ in range(n))
+        inf = (kspec.ops.one_like(zero), kspec.ops.one_like(zero), zero)
+        nlev = max(1, (width - 1).bit_length())
+
+        def shifted_add(pts, s, amount):
+            keep = idx < (jnp.int32(width) - s)
+            shifted = tuple(
+                tuple(jnp.where(keep, pltpu.roll(x, amount, 1), i)
+                      for x, i in zip(c, ic))
+                for c, ic in zip(pts, inf))
+            return ec.add(kspec, pts, shifted)
+
+        if shape[1] % 128 == 0:
+            def body(t, pts):
+                s = jnp.left_shift(jnp.int32(1), t)
+                return shifted_add(pts, s, jnp.int32(width) - s)
+
+            return jax.lax.fori_loop(0, nlev, body, pts)
+        for t in range(nlev):
+            pts = shifted_add(pts, jnp.int32(1 << t), width - (1 << t))
+        return pts
+
+    def kernel(bx, by, bz, ox, oy, oz):
+        s = tuple(
+            tuple(ref[0][i] for i in range(n)) for ref in (bx, by, bz))
+        # C_h = sum_l S[l, h]: 3 static sublane-halving adds -> (1, H)
+        cols = s
+        m = L
+        while m > 1:
+            half = m // 2
+            cols = ec.add(
+                kspec,
+                tuple(tuple(x[:half] for x in c) for c in cols),
+                tuple(tuple(x[half:m] for x in c) for c in cols))
+            m = half
+        # w2 = sum_h (h+1) C_h = U[0], U = suffix(suffix(C))
+        u = ladder(ladder(cols, H, (1, H)), H, (1, H))
+        w2 = tuple(tuple(x[0:1, 0:1] for x in c) for c in u)
+        # R_l = sum_h S[l, h]: lane suffix ladder, first lane of each row
+        rows = ladder(s, H, (L, H))
+        rows = tuple(
+            tuple(x[:, 0:1].reshape(1, L) for x in c) for c in rows)
+        # w1 = sum_l l*R_l = U[1], U = suffix(suffix(R))
+        u = ladder(ladder(rows, L, (1, L)), L, (1, L))
+        w1 = tuple(tuple(x[0:1, 1:2] for x in c) for c in u)
+        w1 = jax.lax.fori_loop(
+            0, H.bit_length() - 1, lambda _, a: ec.double(kspec, a), w1)
+        X3, Y3, Z3 = ec.add(kspec, w1, w2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        for ref, limbs in ((ox, X3), (oy, Y3), (oz, Z3)):
+            # (8, n) block: rows are sublane padding (Mosaic wants the
+            # second-to-last block dim % 8); limbs placed via iota select
+            # (concat of offset-mismatched tiny vectors doesn't lower),
+            # lane broadcast first, sublane broadcast second
+            acc = jnp.zeros((1, n), jnp.uint32)
+            for i, limb in enumerate(limbs):
+                acc = jnp.where(lane == i, jnp.broadcast_to(limb, (1, n)),
+                                acc)
+            ref[:] = jnp.broadcast_to(acc, (8, n))[None]
+
+    bspec = pl.BlockSpec((1, n, L, H), lambda w: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 8, n), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(nwin,),
+        in_specs=[bspec] * 3,
+        out_specs=(ospec,) * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nwin, 8, n), jnp.uint32)
+            for _ in range(3)),
+    )
+
+
+def weighted_bucket_sum(spec: CurveSpec, buckets):
+    """sum_j (j+1) * buckets[:, j] per window as ONE fused kernel launch.
+
+    buckets: 3-tuple of (nwin, W, n) with W a power of two >= 64."""
+    n = spec.ops.field.nlimbs
+    nwin, W = buckets[0].shape[:2]
+    blocks = tuple(
+        x.reshape(nwin, 8, W // 8, n).transpose(0, 3, 1, 2)
+        for x in buckets)
+    out = _wreduce_call(spec, nwin, W)(*blocks)
+    return tuple(x[:, 0, :] for x in out)  # 3-tuple of (nwin, n)
+
+
 DEFAULT_TILE = 512
 
 

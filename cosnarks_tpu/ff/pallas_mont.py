@@ -51,23 +51,24 @@ def mont_mul_lanes(field: Field, a: list, b: list) -> list:
     n = field.nlimbs
     p_limbs = [np.uint32(x) for x in field.p_limbs]
     n0inv = np.uint32(field.n0inv)
-    A = jnp.stack(a)  # (n, TILE)
+    A = jnp.stack(a)  # (n,) + lane shape (1-D (TILE,) or 2-D tiles)
     B = jnp.stack(b)
-    tile = A.shape[1]
-    zrow = jnp.zeros((1, tile), jnp.uint32)
-    t0 = jnp.zeros((n + 1, tile), jnp.uint32)
+    s = A.shape[1:]
+    zrow = jnp.zeros((1,) + s, jnp.uint32)
+    t0 = jnp.zeros((n + 1,) + s, jnp.uint32)
     # p limbs as a broadcast matrix, built ONCE from scalar constants via
     # iota selects (array constants can't be captured; a per-step stack of
     # n narrow (TILE,) muls wastes ~n/16 of the VPU)
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, tile), 0)
-    p_mat = jnp.zeros((n, tile), jnp.uint32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n,) + s, 0)
+    p_mat = jnp.zeros((n,) + s, jnp.uint32)
     for j, pj in enumerate(p_limbs):
         p_mat = jnp.where(row == j, pj, p_mat)
 
     def step(i, t):
         # CIOS iteration, all offsets static (Mosaic has no dynamic value
         # slicing): fold in a_i*B, cancel column 0 with m*p, shift down.
-        sel = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == i
+        sel = jax.lax.broadcasted_iota(
+            jnp.int32, (n,) + (1,) * len(s), 0) == i
         # limbs are 16-bit: int32 reduce is exact (mosaic lacks u32 reduce)
         ai = jnp.sum(
             jnp.where(sel, A.astype(jnp.int32), 0), axis=0, keepdims=True
@@ -78,7 +79,7 @@ def mont_mul_lanes(field: Field, a: list, b: list) -> list:
         t = jnp.concatenate([t[:n] + (prod & MASK), t[n:]], axis=0)
         t = jnp.concatenate([t[:1], t[1:] + (prod >> LIMB_BITS)], axis=0)
         m = (t[0] * n0inv) & MASK
-        mp = m[None, :] * p_mat  # (n, TILE)
+        mp = m[None] * p_mat  # (n,) + lane shape
         t = jnp.concatenate([t[:n] + (mp & MASK), t[n:]], axis=0)
         t = jnp.concatenate([t[:1], t[1:] + (mp >> LIMB_BITS)], axis=0)
         row1 = t[1] + (t[0] >> LIMB_BITS)  # column 0 is now 0 mod 2^16
