@@ -242,6 +242,22 @@ def _weighted_bucket_sum(spec: CurveSpec, buckets):
     return ec.add(spec, w1, w2)
 
 
+def _level0_mode() -> str:
+    """Level-0 implementation: "mega" (one pallas megakernel, the TPU
+    default), "mega-interp" (megakernel in pallas interpret mode — CPU
+    correctness tests), or "xla" (the K-dispatch fori_loop formulation,
+    the CPU default)."""
+    import os
+
+    mode = os.environ.get("COSNARKS_MSM_L0", "auto")
+    if mode != "auto":
+        return mode
+    try:
+        return "mega" if jax.default_backend() != "cpu" else "xla"
+    except Exception:  # pragma: no cover
+        return "xla"
+
+
 def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
                        X, Y, inf_in, B: int, nwin: int):
     """Scatter-free first level: fold K sorted points per chunk with the
@@ -271,6 +287,38 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
     pos3 = order.reshape(nwin, C, K)
     sgn3 = sorted_sign.reshape(nwin, C, K)
     first_key = keys3[:, :, 0]
+
+    mode = _level0_mode()
+    if mode in ("mega", "mega-interp") and spec.ops.coord_ndim == 1:
+        from . import pallas_ec
+
+        L = nwin * C
+        ncoord = X.shape[-1]
+        keysT = keys3.transpose(2, 0, 1).reshape(K, L)
+        flat = pos3.transpose(2, 0, 1).reshape(-1)
+        qx = jnp.take(X, flat, axis=0).reshape(K, L, ncoord)
+        qy = jnp.take(Y, flat, axis=0).reshape(K, L, ncoord)
+        sgnT = sgn3.transpose(2, 0, 1).reshape(K, L)
+        qy = o.select(sgnT, o.neg(qy), qy)
+        valid = ~inf_in[flat].reshape(K, L)
+        changed = jnp.concatenate(
+            [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
+        # prefix saved when a segment that STARTED the chunk ends:
+        # cur_key_{t-1} == first_key (t = 0 never fires: changed_0=False)
+        isfirst = jnp.concatenate(
+            [jnp.ones((1, L), bool), keysT[:-1] == keysT[0:1]], axis=0)
+        flags = (changed.astype(jnp.uint32)
+                 | (valid.astype(jnp.uint32) << 1)
+                 | ((changed & isfirst).astype(jnp.uint32) << 2))
+        buf, run, prefix = pallas_ec.level0_fold(
+            spec, qx, qy, flags, K, interpret=(mode == "mega-interp"))
+        buf = tuple(x.reshape(K, nwin, C, ncoord) for x in buf)
+        run = tuple(x.reshape(nwin, C, ncoord) for x in run)
+        prefix = tuple(x.reshape(nwin, C, ncoord) for x in prefix)
+        cur_key = keysT[K - 1].reshape(nwin, C)
+        return _level0_tail(spec, sortedb, buf, run, prefix, first_key,
+                            cur_key, B, nwin, K, w_idx)
+
     buf = ec.point_inf(spec, (K, nwin, C))
 
     def step(t, state):
@@ -300,6 +348,14 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
     init = (ec.point_inf(spec, (nwin, C)), first_key,
             ec.point_inf(spec, (nwin, C)), buf)
     run, cur_key, prefix, buf = jax.lax.fori_loop(0, K, step, init)
+    return _level0_tail(spec, sortedb, buf, run, prefix, first_key,
+                        cur_key, B, nwin, K, w_idx)
+
+
+def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
+                 cur_key, B: int, nwin: int, K: int, w_idx):
+    """Shared level-0 epilogue: single-segment prefix fix, interior-segment
+    readback from the dense buffer, boundary (prefix, suffix) stream."""
     single = cur_key == first_key
     prefix = ec.select_point(spec, single, run, prefix)
 
@@ -318,6 +374,7 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
     buckets = ec.select_point(spec, interior, gathered,
                               ec.point_inf(spec, (nwin, B)))
 
+    C = first_key.shape[1]
     suf_key = jnp.where(single, first_key, cur_key)
     suffix = ec.select_point(spec, single, ec.point_inf(spec, (nwin, C)),
                              run)

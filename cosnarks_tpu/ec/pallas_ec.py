@@ -305,6 +305,126 @@ def weighted_bucket_sum(spec: CurveSpec, buckets):
     return tuple(x[:, 0, :] for x in out)  # 3-tuple of (nwin, n)
 
 
+@functools.lru_cache(maxsize=None)
+def _level0_call(spec: CurveSpec, L: int, K: int, tile: int,
+                 interpret: bool):
+    """The MSM level-0 bucket-accumulation megakernel.
+
+    One pallas_call runs ALL K sequential fold steps for every lane: grid
+    (cells, K) with t innermost, the running sum and prefix carried in
+    VMEM scratch across the t-steps of a cell. Replaces K dispatched
+    rounds of {gather, madd kernel, dense-buffer dynamic_update} whose
+    per-dispatch overhead dominated level-0 (~60% of MSM wall time at
+    2^16): operands arrive as pre-gathered (K, L) slabs the pipeline
+    DMA-streams, and the only compute is the fused complete mixed-add.
+
+    Inputs per (cell, t): qx, qy slabs (1, tile, n); flags (1, tile)
+    uint32 with bit0 = changed (new segment starts at t), bit1 = point
+    valid, bit2 = save-prefix (segment that started the chunk ended).
+    Outputs: buf (K, lanes, n) running-sum dump (pre-update, slot t),
+    run/prefix (lanes, n) final per-lane states.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.ops.field.nlimbs
+    kspec = _lane_spec(spec)
+
+    def kernel(qx, qy, fl, bufx, bufy, bufz, runo_x, runo_y, runo_z,
+               pre_x, pre_y, pre_z, *scratch):
+        rx, ry, rz, px, py, pz = scratch
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            # infinity = (1, 1, 0) in Montgomery form; the one() constant
+            # is built limb-row-wise (array constants don't lower)
+            zero_l = tuple(jnp.zeros((tile,), jnp.uint32)
+                           for _ in range(n))
+            one_l = kspec.ops.one_like(zero_l)
+            for ref in (rx, ry, px, py):
+                _store(ref, one_l)
+            for ref in (rz, pz):
+                _store(ref, zero_l)
+
+        flags = fl[0]  # (tile,)
+        changed = (flags & 1) != 0
+        valid = (flags & 2) != 0
+        save_prefix = (flags & 4) != 0
+
+        run = (_load(rx, n), _load(ry, n), _load(rz, n))
+        Q = (tuple(qx[0].T[i] for i in range(n)),
+             tuple(qy[0].T[i] for i in range(n)))
+
+        # prefix capture (run BEFORE this step's fold)
+        pre = (_load(px, n), _load(py, n), _load(pz, n))
+        pre = ec.select_point(kspec, save_prefix, run, pre)
+
+        # dense dump of the pre-update running sum at slot t
+        for ref, limbs in zip((bufx, bufy, bufz), run):
+            _store_row(ref, limbs)
+
+        grown = ec.madd(kspec, run, Q, ~changed & valid)
+        one_l = kspec.ops.one_like(Q[0])
+        v_jac = (Q[0], Q[1],
+                 kspec.ops.select(valid, one_l,
+                                  kspec.ops.zeros_like(one_l)))
+        run = ec.select_point(kspec, changed, v_jac, grown)
+
+        for ref, limbs in zip((rx, ry, rz), run):
+            _store(ref, limbs)
+        for ref, limbs in zip((px, py, pz), pre):
+            _store(ref, limbs)
+        for ref, limbs in zip((runo_x, runo_y, runo_z), run):
+            _store(ref, limbs)
+        for ref, limbs in zip((pre_x, pre_y, pre_z), pre):
+            _store(ref, limbs)
+
+    cells = L // tile
+    qspec = pl.BlockSpec((1, tile, n), lambda c, t: (t, c, 0),
+                         memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, tile), lambda c, t: (t, c),
+                         memory_space=pltpu.VMEM)
+    bufspec = pl.BlockSpec((1, tile, n), lambda c, t: (t, c, 0),
+                           memory_space=pltpu.VMEM)
+    lanespec = pl.BlockSpec((tile, n), lambda c, t: (c, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(cells, K),
+        in_specs=[qspec, qspec, fspec],
+        out_specs=(bufspec,) * 3 + (lanespec,) * 6,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((K, L, n), jnp.uint32) for _ in range(3)
+        ) + tuple(
+            jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(6)
+        ),
+        scratch_shapes=[pltpu.VMEM((tile, n), jnp.uint32)
+                        for _ in range(6)],
+        interpret=interpret,
+    )
+
+
+def _store_row(ref, limbs):
+    ref[:] = jnp.stack(limbs, axis=0).T[None]
+
+
+def level0_fold(spec: CurveSpec, qx, qy, flags, K: int,
+                tile: int = 2048, interpret: bool = False):
+    """Run the level-0 megakernel.
+
+    qx, qy: (K, L, n) pre-gathered, sign-applied point coords in
+    step-major order; flags: (K, L) uint32 (bit0 changed, bit1 valid,
+    bit2 save-prefix). Returns (buf (K, L, n) x3, run (L, n) x3,
+    prefix (L, n) x3)."""
+    L = qx.shape[1]
+    t = min(tile, L)
+    while L % t:
+        t //= 2
+    out = _level0_call(spec, L, K, t, interpret)(qx, qy, flags)
+    return out[0:3], out[3:6], out[6:9]
+
+
 DEFAULT_TILE = 512
 
 
