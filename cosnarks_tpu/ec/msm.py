@@ -189,17 +189,6 @@ def _host_horner(spec: CurveSpec, wsums, c: int):
     return tuple(x[0] for x in single)
 
 
-def _fused_reduce_ok(spec: CurveSpec, c: int) -> bool:
-    from .ops import FqOps
-
-    if type(spec.ops) is not FqOps or c < 9:
-        return False  # tiny windows: XLA reduction is already cheap
-    try:
-        return jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def _weighted_bucket_sum(spec: CurveSpec, buckets):
     """sum_{j} (j+1) * buckets[:, j] per window.
 
@@ -293,31 +282,45 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
         from . import pallas_ec
 
         L = nwin * C
-        ncoord = X.shape[-1]
-        keysT = keys3.transpose(2, 0, 1).reshape(K, L)
-        flat = pos3.transpose(2, 0, 1).reshape(-1)
-        qx = jnp.take(X, flat, axis=0).reshape(K, L, ncoord)
-        qy = jnp.take(Y, flat, axis=0).reshape(K, L, ncoord)
-        sgnT = sgn3.transpose(2, 0, 1).reshape(K, L)
-        qy = o.select(sgnT, o.neg(qy), qy)
-        valid = ~inf_in[flat].reshape(K, L)
-        changed = jnp.concatenate(
-            [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
-        # prefix saved when a segment that STARTED the chunk ends:
-        # cur_key_{t-1} == first_key (t = 0 never fires: changed_0=False)
-        isfirst = jnp.concatenate(
-            [jnp.ones((1, L), bool), keysT[:-1] == keysT[0:1]], axis=0)
-        flags = (changed.astype(jnp.uint32)
-                 | (valid.astype(jnp.uint32) << 1)
-                 | ((changed & isfirst).astype(jnp.uint32) << 2))
-        buf, run, prefix = pallas_ec.level0_fold(
-            spec, qx, qy, flags, K, interpret=(mode == "mega-interp"))
-        buf = tuple(x.reshape(K, nwin, C, ncoord) for x in buf)
-        run = tuple(x.reshape(nwin, C, ncoord) for x in run)
-        prefix = tuple(x.reshape(nwin, C, ncoord) for x in prefix)
-        cur_key = keysT[K - 1].reshape(nwin, C)
-        return _level0_tail(spec, sortedb, buf, run, prefix, first_key,
-                            cur_key, B, nwin, K, w_idx)
+        if pallas_ec.lm_geometry(L) is not None:
+            ncoord = X.shape[-1]
+            NP = X.shape[0]
+            keysT = keys3.transpose(2, 0, 1).reshape(K, L)
+            flat = pos3.transpose(2, 0, 1).reshape(-1)
+            sgnT = sgn3.transpose(2, 0, 1).reshape(-1)
+            # limb-major slabs, gathered along the element axis of the
+            # transposed point table — the gather WRITES limb-major, no
+            # (K, L, n) -> (n, K, L) transpose pass needed. The sign
+            # select is folded into the same gather: the source holds
+            # [Y | -Y] and negative digits index the second half.
+            qx = jnp.take(X.T, flat, axis=1).reshape(ncoord, K, L)
+            ycat = jnp.concatenate([Y.T, o.neg(Y).T], axis=1)
+            qy = jnp.take(
+                ycat, flat + sgnT * NP, axis=1).reshape(ncoord, K, L)
+            valid = ~inf_in[flat].reshape(K, L)
+            changed = jnp.concatenate(
+                [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
+            # prefix saved when a segment that STARTED the chunk ends:
+            # cur_key_{t-1} == first_key (t = 0 never fires: changed_0=F)
+            isfirst = jnp.concatenate(
+                [jnp.ones((1, L), bool), keysT[:-1] == keysT[0:1]], axis=0)
+            flags = (changed.astype(jnp.uint32)
+                     | (valid.astype(jnp.uint32) << 1)
+                     | ((changed & isfirst).astype(jnp.uint32) << 2))
+            buf, run, prefix = pallas_ec.level0_fold(
+                spec, qx, qy, flags, K,
+                interpret=(mode == "mega-interp"))
+            buf = tuple(x.reshape(ncoord, K, nwin, C) for x in buf)
+            run = tuple(
+                x.reshape(ncoord, nwin, C).transpose(1, 2, 0)
+                for x in run)
+            prefix = tuple(
+                x.reshape(ncoord, nwin, C).transpose(1, 2, 0)
+                for x in prefix)
+            cur_key = keysT[K - 1].reshape(nwin, C)
+            return _level0_tail(spec, sortedb, buf, run, prefix,
+                                first_key, cur_key, B, nwin, K, w_idx,
+                                limb_major_buf=True)
 
     buf = ec.point_inf(spec, (K, nwin, C))
 
@@ -353,9 +356,13 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
 
 
 def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
-                 cur_key, B: int, nwin: int, K: int, w_idx):
+                 cur_key, B: int, nwin: int, K: int, w_idx,
+                 limb_major_buf: bool = False):
     """Shared level-0 epilogue: single-segment prefix fix, interior-segment
-    readback from the dense buffer, boundary (prefix, suffix) stream."""
+    readback from the dense buffer, boundary (prefix, suffix) stream.
+
+    buf: (K, nwin, C, ncoord) batch-last, or (ncoord, K, nwin, C) when
+    limb_major_buf (the megakernel's native layout)."""
     single = cur_key == first_key
     prefix = ec.select_point(spec, single, run, prefix)
 
@@ -370,7 +377,11 @@ def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
                 & (starts % K != 0) & (end_idx % K != K - 1))
     t_idx = jnp.where(interior, end_idx % K + 1, 0)
     c_idx = jnp.where(interior, end_idx // K, 0)
-    gathered = tuple(bc[t_idx, w_idx, c_idx] for bc in buf)
+    if limb_major_buf:
+        gathered = tuple(
+            bc[:, t_idx, w_idx, c_idx].transpose(1, 2, 0) for bc in buf)
+    else:
+        gathered = tuple(bc[t_idx, w_idx, c_idx] for bc in buf)
     buckets = ec.select_point(spec, interior, gathered,
                               ec.point_inf(spec, (nwin, B)))
 

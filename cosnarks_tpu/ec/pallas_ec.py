@@ -305,30 +305,56 @@ def weighted_bucket_sum(spec: CurveSpec, buckets):
     return tuple(x[:, 0, :] for x in out)  # 3-tuple of (nwin, n)
 
 
+LM_LANES_MAX = 8192  # lanes per level-0 grid cell (VMEM-bounded)
+
+
+def lm_geometry(L: int) -> tuple[int, int] | None:
+    """(R, C) 2-D lane-block geometry for L lanes, or None if L does not
+    tile cleanly (callers fall back to the XLA path). Limbs live as
+    (R, C) full-sublane shapes: 1-D (tile,) limb vectors use 1 of 8
+    sublanes per vreg, measured 6.6x slower (scripts/ubench_lm2.py)."""
+    for C in (512, 256, 128):
+        if L % C:
+            continue
+        rows = L // C
+        if rows * C <= LM_LANES_MAX:
+            # whole rows-dim in one block: legal for ANY rows value
+            # (block dim == array dim satisfies the (8, 128) rule)
+            return rows, C
+        best = 0
+        for R in range(8, LM_LANES_MAX // C + 1, 8):
+            if rows % R == 0:
+                best = R
+        if best:
+            return best, C
+    return None
+
+
 @functools.lru_cache(maxsize=None)
-def _level0_call(spec: CurveSpec, L: int, K: int, tile: int,
+def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
                  interpret: bool):
-    """The MSM level-0 bucket-accumulation megakernel.
+    """The MSM level-0 bucket-accumulation megakernel, limb-major.
 
     One pallas_call runs ALL K sequential fold steps for every lane: grid
     (cells, K) with t innermost, the running sum and prefix carried in
     VMEM scratch across the t-steps of a cell. Replaces K dispatched
     rounds of {gather, madd kernel, dense-buffer dynamic_update} whose
     per-dispatch overhead dominated level-0 (~60% of MSM wall time at
-    2^16): operands arrive as pre-gathered (K, L) slabs the pipeline
+    2^16): operands arrive as pre-gathered limb-major slabs the pipeline
     DMA-streams, and the only compute is the fused complete mixed-add.
 
-    Inputs per (cell, t): qx, qy slabs (1, tile, n); flags (1, tile)
+    Inputs per (cell, t): qx, qy slabs (n, 1, R, C); flags (1, R, C)
     uint32 with bit0 = changed (new segment starts at t), bit1 = point
     valid, bit2 = save-prefix (segment that started the chunk ended).
-    Outputs: buf (K, lanes, n) running-sum dump (pre-update, slot t),
-    run/prefix (lanes, n) final per-lane states.
+    Outputs: buf (n, K, rows, C) running-sum dump (pre-update, slot t),
+    run/prefix (n, rows, C) final per-lane states. rows = L // C.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = spec.ops.field.nlimbs
     kspec = _lane_spec(spec)
+    rows = L // C
 
     def kernel(qx, qy, fl, bufx, bufy, bufz, runo_x, runo_y, runo_z,
                pre_x, pre_y, pre_z, *scratch):
@@ -339,30 +365,31 @@ def _level0_call(spec: CurveSpec, L: int, K: int, tile: int,
         def _init():
             # infinity = (1, 1, 0) in Montgomery form; the one() constant
             # is built limb-row-wise (array constants don't lower)
-            zero_l = tuple(jnp.zeros((tile,), jnp.uint32)
+            zero_l = tuple(jnp.zeros((R, C), jnp.uint32)
                            for _ in range(n))
             one_l = kspec.ops.one_like(zero_l)
             for ref in (rx, ry, px, py):
-                _store(ref, one_l)
+                _store_lm(ref, one_l)
             for ref in (rz, pz):
-                _store(ref, zero_l)
+                _store_lm(ref, zero_l)
 
-        flags = fl[0]  # (tile,)
+        flags = fl[0]  # (R, C)
         changed = (flags & 1) != 0
         valid = (flags & 2) != 0
         save_prefix = (flags & 4) != 0
 
-        run = (_load(rx, n), _load(ry, n), _load(rz, n))
-        Q = (tuple(qx[0].T[i] for i in range(n)),
-             tuple(qy[0].T[i] for i in range(n)))
+        run = (_load_lm(rx, n), _load_lm(ry, n), _load_lm(rz, n))
+        Q = (tuple(qx[i, 0] for i in range(n)),
+             tuple(qy[i, 0] for i in range(n)))
 
         # prefix capture (run BEFORE this step's fold)
-        pre = (_load(px, n), _load(py, n), _load(pz, n))
+        pre = (_load_lm(px, n), _load_lm(py, n), _load_lm(pz, n))
         pre = ec.select_point(kspec, save_prefix, run, pre)
 
         # dense dump of the pre-update running sum at slot t
         for ref, limbs in zip((bufx, bufy, bufz), run):
-            _store_row(ref, limbs)
+            for i in range(n):
+                ref[i, 0] = limbs[i]
 
         grown = ec.madd(kspec, run, Q, ~changed & valid)
         one_l = kspec.ops.one_like(Q[0])
@@ -372,57 +399,71 @@ def _level0_call(spec: CurveSpec, L: int, K: int, tile: int,
         run = ec.select_point(kspec, changed, v_jac, grown)
 
         for ref, limbs in zip((rx, ry, rz), run):
-            _store(ref, limbs)
+            _store_lm(ref, limbs)
         for ref, limbs in zip((px, py, pz), pre):
-            _store(ref, limbs)
+            _store_lm(ref, limbs)
         for ref, limbs in zip((runo_x, runo_y, runo_z), run):
-            _store(ref, limbs)
+            _store_lm(ref, limbs)
         for ref, limbs in zip((pre_x, pre_y, pre_z), pre):
-            _store(ref, limbs)
+            _store_lm(ref, limbs)
 
-    cells = L // tile
-    qspec = pl.BlockSpec((1, tile, n), lambda c, t: (t, c, 0),
+    qspec = pl.BlockSpec((n, 1, R, C), lambda c, t: (0, t, c, 0),
                          memory_space=pltpu.VMEM)
-    fspec = pl.BlockSpec((1, tile), lambda c, t: (t, c),
+    fspec = pl.BlockSpec((1, R, C), lambda c, t: (t, c, 0),
                          memory_space=pltpu.VMEM)
-    bufspec = pl.BlockSpec((1, tile, n), lambda c, t: (t, c, 0),
-                           memory_space=pltpu.VMEM)
-    lanespec = pl.BlockSpec((tile, n), lambda c, t: (c, 0),
+    bufspec = qspec
+    lanespec = pl.BlockSpec((n, R, C), lambda c, t: (0, c, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(cells, K),
+        grid=(rows // R, K),
         in_specs=[qspec, qspec, fspec],
         out_specs=(bufspec,) * 3 + (lanespec,) * 6,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((K, L, n), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((n, K, rows, C), jnp.uint32)
+            for _ in range(3)
         ) + tuple(
-            jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(6)
+            jax.ShapeDtypeStruct((n, rows, C), jnp.uint32)
+            for _ in range(6)
         ),
-        scratch_shapes=[pltpu.VMEM((tile, n), jnp.uint32)
+        scratch_shapes=[pltpu.VMEM((n, R, C), jnp.uint32)
                         for _ in range(6)],
+        # the fused complete-madd body holds ~2n product columns of the
+        # Montgomery pipeline live per mul — far over the 16 MB default
+        # scoped-vmem limit at 8K lanes (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
 
-def _store_row(ref, limbs):
-    ref[:] = jnp.stack(limbs, axis=0).T[None]
+def _load_lm(ref, n):
+    return tuple(ref[i] for i in range(n))
+
+
+def _store_lm(ref, limbs):
+    for i, limb in enumerate(limbs):
+        ref[i] = limb
 
 
 def level0_fold(spec: CurveSpec, qx, qy, flags, K: int,
-                tile: int = 2048, interpret: bool = False):
+                interpret: bool = False):
     """Run the level-0 megakernel.
 
-    qx, qy: (K, L, n) pre-gathered, sign-applied point coords in
-    step-major order; flags: (K, L) uint32 (bit0 changed, bit1 valid,
-    bit2 save-prefix). Returns (buf (K, L, n) x3, run (L, n) x3,
-    prefix (L, n) x3)."""
-    L = qx.shape[1]
-    t = min(tile, L)
-    while L % t:
-        t //= 2
-    out = _level0_call(spec, L, K, t, interpret)(qx, qy, flags)
-    return out[0:3], out[3:6], out[6:9]
+    qx, qy: (n, K, L) limb-major pre-gathered, sign-applied point coords
+    in step-major order; flags: (K, L) uint32 (bit0 changed, bit1 valid,
+    bit2 save-prefix). Returns (buf (n, K, L) x3, run (n, L) x3,
+    prefix (n, L) x3). Caller must check lm_geometry(L) is not None."""
+    n, _, L = qx.shape
+    R, C = lm_geometry(L)
+    rows = L // C
+    out = _level0_call(spec, L, K, R, C, interpret)(
+        qx.reshape(n, K, rows, C), qy.reshape(n, K, rows, C),
+        flags.reshape(K, rows, C))
+    buf = tuple(x.reshape(n, K, L) for x in out[0:3])
+    run = tuple(x.reshape(n, L) for x in out[3:6])
+    prefix = tuple(x.reshape(n, L) for x in out[6:9])
+    return buf, run, prefix
 
 
 DEFAULT_TILE = 512

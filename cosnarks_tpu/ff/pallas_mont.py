@@ -172,18 +172,87 @@ def available() -> bool:
 
 DEFAULT_TILE = 1024
 
+# Limb-major lane geometry: limbs live as (R, C) 2-D vector shapes with
+# full sublane utilization. 1-D (tile,) limb vectors occupy 1 of 8
+# sublanes per vreg, wasting 7/8 of the VPU — measured 6.6x slower than
+# (128, 512) lanes on v5e (scripts/ubench_lm2.py: 278 vs 1849 M mul/s).
+LM_C = 512
+LM_R = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call_lm(field: Field, rows_total: int, R: int, C: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = field.nlimbs
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[i] for i in range(n)]
+        b = [b_ref[i] for i in range(n)]
+        res = mont_mul_lanes(field, a, b)
+        for i in range(n):
+            o_ref[i] = res[i]
+
+    spec = pl.BlockSpec((n, R, C), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows_total // R,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n, rows_total, C), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=rows_total * C * (4 * n * n + 10 * n),
+            bytes_accessed=3 * rows_total * C * n * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def _lm_geometry(total: int) -> tuple[int, int]:
+    """(R, C) lane block for a batch of `total` elements."""
+    C = LM_C if total >= LM_C else 128
+    rows = -(-total // C)
+    R = min(LM_R, max(8, 1 << (rows - 1).bit_length()))
+    return R, C
+
+
+def mul_lm(field: Field, flat_a, flat_b):
+    """Montgomery product of (total, n) batch-last arrays via the
+    limb-major kernel (transposes at the boundary; the transpose is two
+    HBM passes, ~10% of kernel time at 2^19)."""
+    n = field.nlimbs
+    total = flat_a.shape[0]
+    R, C = _lm_geometry(total)
+    pad = -total % (R * C)
+    if pad:
+        z = jnp.zeros((pad, n), jnp.uint32)
+        flat_a = jnp.concatenate([flat_a, z])
+        flat_b = jnp.concatenate([flat_b, z])
+    rows = (total + pad) // C
+    alm = flat_a.T.reshape(n, rows, C)
+    blm = flat_b.T.reshape(n, rows, C)
+    out = _mul_call_lm(field, rows, R, C)(alm, blm)
+    res = out.reshape(n, rows * C).T
+    if pad:
+        res = res[:total]
+    return res
+
 
 def mul(field: Field, a, b, tile: int = DEFAULT_TILE):
     """Batched Montgomery product via the Pallas kernel.
 
-    a, b: (..., nlimbs) canonical Montgomery limbs, identical shapes.
-    Batch must be a multiple of 8; remainder handled by padding.
-    """
+    a, b: (..., nlimbs) canonical Montgomery limbs, identical shapes."""
     n = field.nlimbs
     shape = a.shape
     total = int(np.prod(shape[:-1], dtype=np.int64))
     flat_a = a.reshape(total, n)
     flat_b = b.reshape(total, n)
+    if total >= 4096:
+        return mul_lm(field, flat_a, flat_b).reshape(shape)
     t = min(tile, max(8, 1 << (total - 1).bit_length()))
     pad = -total % t
     if pad:

@@ -183,17 +183,26 @@ def cache_home(sub: str) -> str:
 
 def _check_local_crs(crs: Crs) -> None:
     """Integrity check for cache loads: the known-tau structure must hold
-    (monomials[0] = G1, monomials[1] = tau*G1, g2_x = tau*G2). Catches a
-    corrupted or tampered cache file before it reaches prove/verify."""
+    (monomials[0] = G1, monomials[i+1] = tau*monomials[i], g2_x = tau*G2).
+    Catches a corrupted or tampered cache file before it reaches
+    prove/verify. A size-1 CRS (the download-crs default) legitimately has
+    no monomials[1]; only the structure that exists is checked. Beyond the
+    head, the LAST monomial pair is tau-consistency-checked so tail
+    corruption of a long cache file is caught too."""
     g1 = host_curve(curves.BN254_G1)
     g2 = host_curve(curves.BN254_G2)
-    ok = (crs.monomials[0] == curves.BN254_G1.generator
-          and len(crs.monomials) >= 2
-          and crs.monomials[1] == g1.affine_ints(
-              _fixed_base_mul(g1, _fixed_base_table(
-                  g1, curves.BN254_G1.generator), _LOCAL_TAU))
+
+    def tau_next(pt):
+        return g1.affine_ints(
+            _fixed_base_mul(g1, _fixed_base_table(g1, pt), _LOCAL_TAU))
+
+    ok = (len(crs.monomials) >= 1
+          and crs.monomials[0] == curves.BN254_G1.generator
           and crs.g2_x == g2.affine_ints(
               g2.mul(g2.lift_affine(curves.BN254_G2.generator), _LOCAL_TAU)))
+    if ok and len(crs.monomials) >= 2:
+        ok = (crs.monomials[1] == tau_next(crs.monomials[0])
+              and crs.monomials[-1] == tau_next(crs.monomials[-2]))
     if not ok:
         raise ValueError(
             "cached local CRS failed its integrity check (delete the "

@@ -92,6 +92,10 @@ class TcpSessionHandler:
             except OSError:
                 return
             try:
+                # bound the handshake + session-claim read: one stalled
+                # or slow-dripping dialer must not block acceptance of
+                # every other session (the loop is single-threaded)
+                conn.settimeout(min(5.0, self.timeout))
                 verify = None
                 if self._server_wrap is not None:
                     conn, verify = self._server_wrap(conn)

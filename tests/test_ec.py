@@ -114,6 +114,29 @@ def test_msm_duplicate_points_and_scalars(rng):
     assert got == exp
 
 
+def test_msm_level0_megakernel_interp(rng, monkeypatch):
+    """The level-0 Pallas megakernel (TPU default) in interpret mode must
+    match the XLA fori_loop formulation (the CPU default). Catches
+    megakernel logic drift that TPU-only benching would miss."""
+    monkeypatch.setenv("COSNARKS_MSM_L0", "mega-interp")
+    spec = BN254_G1
+    from cosnarks_tpu.ec import pallas_ec
+
+    hc = host.host_curve(spec)
+    n = 1024  # L = nwin * n/K = 32*32 = 1024 lanes: tiles as (8, 128)
+    assert pallas_ec.lm_geometry(32 * (n // 32)) is not None
+    pts = random_affines(rng, spec, n)
+    scalars = [rng.randrange(spec.scalar_field.p) for _ in range(n - 2)]
+    scalars += [0, spec.scalar_field.p - 1]
+    P = ec.encode_points(spec, pts)
+    s = mont.encode(spec.scalar_field, scalars, mont=False)
+    got = ec.decode_points(
+        spec, tuple(x[None] for x in msm.msm(spec, P, s, c=8))
+    )[0]
+    exp = hc.affine_ints(hc.msm([hc.lift_affine(p) for p in pts], scalars))
+    assert got == exp
+
+
 @pytest.mark.parametrize("n,c", [(128, 4), (256, 8), (200, None)])
 def test_msm_pippenger_path(rng, n, c):
     """Covers the signed-digit Pippenger path (N > 64 bypasses _msm_small),
