@@ -189,6 +189,141 @@ def madd(spec: CurveSpec, P, Q_affine, valid=None):
     return res
 
 
+def proj_point_inf(spec: CurveSpec, shape=()):
+    """Projective identity (0 : 1 : 0)."""
+    o = spec.ops
+    return (o.zeros(shape), o.one(shape), o.zeros(shape))
+
+
+def _mul_b3(spec: CurveSpec, o, x):
+    """x * 3b for the RCB complete formulas. Small-int 3b (both G1 curves:
+    9 and 12) is a double/add chain (~4 modadds, vs ~450 lane-ops for a
+    full mul); Fq2 twists (G2) multiply by the encoded constant."""
+    b = spec.b
+    if isinstance(b, int) and 0 < 3 * b <= 64:
+        b3 = 3 * b
+        # left-to-right binary chain on the multiplier
+        acc = x
+        for bit in bin(b3)[3:]:
+            acc = o.double(acc)
+            if bit == "1":
+                acc = o.add(acc, x)
+        return acc
+    p = o.field.p
+    if isinstance(b, tuple):
+        c = o.constant((3 * b[0] % p, 3 * b[1] % p),
+                       x.shape[: x.ndim - o.coord_ndim])
+        return o.mul(x, c)
+    b3 = 3 * b % p
+    if p - b3 <= 64:  # small negative constant (Grumpkin b = -17): chain
+        acc = x
+        for bit in bin(p - b3)[3:]:
+            acc = o.double(acc)
+            if bit == "1":
+                acc = o.add(acc, x)
+        return o.neg(acc)
+    shape = x.shape[: x.ndim - 1] if hasattr(x, "ndim") else None
+    return o.mul(x, o.constant(b3, shape))
+
+
+def proj_add(spec: CurveSpec, P, Q):
+    """COMPLETE projective add, a=0 short Weierstrass (Renes-Costello-
+    Batina 2015/1060 alg 7). Straight-line: no selects, no is_zero, valid
+    for every input pair including identity (0:1:0), P=Q and P=-Q —
+    complete because both curves' E(Fq) groups have odd order.
+
+    12 muls + 2 small-constant muls: replaces the 23-mul select-chained
+    complete Jacobian add on the MSM reduction paths.
+    """
+    if _pallas_batch(spec, P) and P[0].shape == Q[0].shape:
+        from . import pallas_ec
+
+        return pallas_ec.proj_add(spec, P, Q)
+    o = spec.ops
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    t0, t1, t2, s3, s4, s5 = _mulstack(
+        o,
+        (X1, Y1, Z1, o.add(X1, Y1), o.add(Y1, Z1), o.add(X1, Z1)),
+        (X2, Y2, Z2, o.add(X2, Y2), o.add(Y2, Z2), o.add(X2, Z2)),
+    )
+    t3 = o.sub(s3, o.add(t0, t1))  # X1Y2 + X2Y1
+    t4 = o.sub(s4, o.add(t1, t2))  # Y1Z2 + Y2Z1
+    t5 = o.sub(s5, o.add(t0, t2))  # X1Z2 + X2Z1
+    t0 = o.add(o.double(t0), t0)   # 3 X1X2
+    t2 = _mul_b3(spec, o, t2)      # 3b Z1Z2
+    z = o.add(t1, t2)
+    t1 = o.sub(t1, t2)
+    y = _mul_b3(spec, o, t5)       # 3b (X1Z2+X2Z1)
+    A, B, C, D, E, F = _mulstack(
+        o, (t4, t3, y, t1, t0, z), (y, t1, t0, z, t3, t4)
+    )
+    return (o.sub(B, A), o.add(D, C), o.add(F, E))
+
+
+def proj_madd(spec: CurveSpec, P, Q_affine, valid=None):
+    """COMPLETE projective mixed add (RCB alg 8, Z2=1): 11 muls + 2
+    small-constant muls. `valid` lanes=False return P unchanged. NOTE:
+    Q_affine must be a real affine point (the implicit Z2=1 means "point
+    at infinity" cannot be encoded; mask such lanes out via `valid`)."""
+    if _pallas_batch(spec, P):
+        from . import pallas_ec
+
+        return pallas_ec.proj_madd(spec, P, Q_affine, valid)
+    o = spec.ops
+    X1, Y1, Z1 = P
+    x2, y2 = Q_affine
+    t0, t1, s3, u, v = _mulstack(
+        o,
+        (X1, Y1, o.add(X1, Y1), x2, y2),
+        (x2, y2, o.add(x2, y2), Z1, Z1),
+    )
+    t3 = o.sub(s3, o.add(t0, t1))  # X1y2 + x2Y1
+    t4 = o.add(u, X1)              # x2Z1 + X1
+    t5 = o.add(v, Y1)              # y2Z1 + Y1
+    t0 = o.add(o.double(t0), t0)   # 3 X1x2
+    t2 = _mul_b3(spec, o, Z1)
+    z = o.add(t1, t2)
+    t1 = o.sub(t1, t2)
+    y = _mul_b3(spec, o, t4)
+    A, B, C, D, E, F = _mulstack(
+        o, (t5, t3, y, t1, t0, z), (y, t1, t0, z, t3, t5)
+    )
+    res = (o.sub(B, A), o.add(D, C), o.add(F, E))
+    if valid is not None:
+        res = select_point(spec, valid, res, P)
+    return res
+
+
+def proj_double(spec: CurveSpec, P):
+    """Projective doubling (RCB alg 9, a=0): 8 muls + 1 small-constant
+    mul; complete (identity doubles to identity)."""
+    if _pallas_batch(spec, P):
+        from . import pallas_ec
+
+        return pallas_ec.proj_double(spec, P)
+    o = spec.ops
+    X, Y, Z = P
+    t0, t1, t2, xy = _mulstack(o, (Y, Y, Z, X), (Y, Z, Z, Y))
+    z3 = o.double(o.double(o.double(t0)))  # 8 Y^2
+    t2 = _mul_b3(spec, o, t2)
+    y3 = o.add(t0, t2)
+    x3, z3 = _mulstack(o, (t2, t1), (z3, z3))
+    t2 = o.add(o.double(t2), t2)  # 3 * (3b Z^2)
+    t0 = o.sub(t0, t2)
+    Y3, X3 = _mulstack(o, (t0, t0), (y3, xy))
+    return (o.double(X3), o.add(x3, Y3), z3)
+
+
+def proj_to_jacobian(spec: CurveSpec, P):
+    """(X:Y:Z) projective -> (XZ, YZ^2, Z) Jacobian. Identity (0:1:0)
+    maps to (0,0,0), a valid Jacobian infinity encoding (Z=0)."""
+    o = spec.ops
+    X, Y, Z = P
+    XZ, Z2 = _mulstack(o, (X, Z), (Z, Z))
+    return (XZ, o.mul(Y, Z2), Z)
+
+
 def _bmask(o, mask):
     extra = (1,) * o.coord_ndim
     return mask.reshape(mask.shape + extra)

@@ -85,24 +85,34 @@ def signed_digits(spec: CurveSpec, scalars_std, c: int):
 CHUNK_K = 32  # points folded sequentially per lane per level
 
 
-def _sort_by_bucket(bucket, c: int, N: int):
-    """(nwin, N) bucket ids -> (order, sortedb). Single-key unstable sort
-    with the point index packed below the bucket id when it fits in u32
-    (~1.3x faster than stable argsort on TPU); key-value unstable sort
-    otherwise. Stability is irrelevant: any order within a bucket works."""
+def _sort_by_bucket(bucket, sign, inf_in, c: int, N: int):
+    """(nwin, N) bucket ids + per-window sign bits + per-point infinity
+    bits -> (order, sortedb, sorted_sign, sorted_inf).
+
+    The sign and infinity bits ride in the sort payload: a separate
+    post-sort take_along_axis of the sign plane measured 13.6 ms at
+    (20, 2^16) on v5e — ~60x the 0.21 ms sort itself — and even a u32
+    fancy-gather of the validity plane costs 9 ms (1-D gathers do not
+    vectorize across lanes the way the 2-D point-row gathers do).
+    Single-key unstable sort packs (bucket | index | inf | sign) into one
+    u32 when it fits; otherwise a key-value unstable sort."""
     idx_bits = max(1, (N - 1).bit_length())
-    if c + idx_bits <= 32:  # bucket id <= 2^(c-1) needs c bits
-        keys = (bucket.astype(jnp.uint32) << idx_bits) | jnp.arange(
-            N, dtype=jnp.uint32)[None, :]
+    payload = ((jnp.arange(N, dtype=jnp.uint32)[None, :] << 2)
+               | (inf_in.astype(jnp.uint32)[None, :] << 1)
+               | sign.astype(jnp.uint32))
+    if c + idx_bits + 2 <= 32:  # bucket id <= 2^(c-1) needs c bits
+        keys = (bucket.astype(jnp.uint32) << (idx_bits + 2)) | payload
         skeys = jax.lax.sort(keys, dimension=1, is_stable=False)
-        order = (skeys & jnp.uint32((1 << idx_bits) - 1)).astype(jnp.int32)
-        sortedb = (skeys >> idx_bits).astype(jnp.int32)
-        return order, sortedb
-    iota = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[None, :], bucket.shape)
-    sortedb, order = jax.lax.sort(
-        (bucket, iota), dimension=1, is_stable=False, num_keys=1)
-    return order, sortedb
+        spay = skeys & jnp.uint32((1 << (idx_bits + 2)) - 1)
+        sortedb = (skeys >> (idx_bits + 2)).astype(jnp.int32)
+    else:
+        sortedb, spay = jax.lax.sort(
+            (bucket, jnp.broadcast_to(payload, bucket.shape)),
+            dimension=1, is_stable=False, num_keys=1)
+    order = (spay >> 2).astype(jnp.int32)
+    sorted_sign = (spay & 1).astype(bool)
+    sorted_inf = ((spay >> 1) & 1).astype(bool)
+    return order, sortedb, sorted_sign, sorted_inf
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -130,16 +140,16 @@ def _pippenger_signed(spec: CurveSpec, pts, scalars_std, c: int):
     bucket = jnp.abs(digits).astype(jnp.int32)
     sign = digits < 0
 
-    order, sortedb = _sort_by_bucket(bucket, c, N)
-    sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+    order, sortedb, sorted_sign, sorted_inf = _sort_by_bucket(
+        bucket, sign, inf_in, c, N)
 
     acc = _bucket_accumulate(
-        spec, order, sortedb, sorted_sign, X, Y, inf_in, B, nwin
+        spec, order, sortedb, sorted_sign, sorted_inf, X, Y, B, nwin
     )
 
     buckets = tuple(x[:, 1:] for x in acc)
-    wsums = _weighted_bucket_sum(spec, buckets)  # (nwin,)
-    return _horner_combine(spec, wsums, c)
+    wsums = _weighted_bucket_sum(spec, buckets)  # (nwin,) projective
+    return ec.proj_to_jacobian(spec, _horner_combine(spec, wsums, c))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
@@ -163,10 +173,10 @@ def _pippenger_wsums(spec: CurveSpec, pts, scalars_std, c: int):
     nwin = digits.shape[0]
     bucket = jnp.abs(digits).astype(jnp.int32)
     sign = digits < 0
-    order, sortedb = _sort_by_bucket(bucket, c, N)
-    sorted_sign = jnp.take_along_axis(sign, order, axis=1)
+    order, sortedb, sorted_sign, sorted_inf = _sort_by_bucket(
+        bucket, sign, inf_in, c, N)
     acc = _bucket_accumulate(
-        spec, order, sortedb, sorted_sign, X, Y, inf_in, B, nwin)
+        spec, order, sortedb, sorted_sign, sorted_inf, X, Y, B, nwin)
     buckets = tuple(x[:, 1:] for x in acc)
     return pallas_ec.weighted_bucket_sum(spec, buckets)
 
@@ -174,10 +184,10 @@ def _pippenger_wsums(spec: CurveSpec, pts, scalars_std, c: int):
 def _host_horner(spec: CurveSpec, wsums, c: int):
     """sum_w 2^(c*w) W_w on the host: the window sums are a ~4 KB fetch,
     and the python-int ladder beats dispatching c*(nwin-1) sequential
-    1-lane doubling kernels by ~50 ms per MSM."""
+    1-lane doubling kernels by ~50 ms per MSM. wsums are projective."""
     from . import host
 
-    pts = ec.decode_points(spec, wsums)
+    pts = ec.decode_points(spec, ec.proj_to_jacobian(spec, wsums))
     hc = host.host_curve(spec)
     acc = None
     for pt in reversed(pts):
@@ -190,7 +200,7 @@ def _host_horner(spec: CurveSpec, wsums, c: int):
 
 
 def _weighted_bucket_sum(spec: CurveSpec, buckets):
-    """sum_{j} (j+1) * buckets[:, j] per window.
+    """sum_{j} (j+1) * buckets[:, j] per window (projective points).
 
     Weight-split decomposition: with j = H*hi + lo (buckets reshaped to
     (nwin, L, H) row-major? no: (nwin, L, H) with j = H*l + h):
@@ -213,7 +223,7 @@ def _weighted_bucket_sum(spec: CurveSpec, buckets):
                        for x in pts)
             hi = tuple(jax.lax.slice_in_dim(x, half, m, axis=axis)
                        for x in pts)
-            pts = ec.add(spec, lo, hi)
+            pts = ec.proj_add(spec, lo, hi)
             m = half
         return tuple(jnp.squeeze(x, axis=axis) for x in pts)
 
@@ -227,8 +237,8 @@ def _weighted_bucket_sum(spec: CurveSpec, buckets):
     w1 = tuple(x[:, 0] for x in _suffix_sums(
         spec, _suffix_sums(spec, rows1)))
     for _ in range(H.bit_length() - 1):  # * H
-        w1 = ec.double(spec, w1)
-    return ec.add(spec, w1, w2)
+        w1 = ec.proj_double(spec, w1)
+    return ec.proj_add(spec, w1, w2)
 
 
 def _level0_mode() -> str:
@@ -248,7 +258,7 @@ def _level0_mode() -> str:
 
 
 def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
-                       X, Y, inf_in, B: int, nwin: int):
+                       sorted_inf, X, Y, B: int, nwin: int):
     """Scatter-free first level: fold K sorted points per chunk with the
     fused mixed-add, dumping the running sum densely per step; interior
     bucket sums are read back with one gather (positions from
@@ -268,6 +278,8 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
             [order, jnp.zeros((nwin, pad), order.dtype)], axis=1)
         sorted_sign = jnp.concatenate(
             [sorted_sign, jnp.zeros((nwin, pad), bool)], axis=1)
+        sorted_inf = jnp.concatenate(
+            [sorted_inf, jnp.ones((nwin, pad), bool)], axis=1)
         N += pad
     C = N // K
     w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
@@ -275,6 +287,7 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
     keys3 = sortedb.reshape(nwin, C, K)
     pos3 = order.reshape(nwin, C, K)
     sgn3 = sorted_sign.reshape(nwin, C, K)
+    inf3 = sorted_inf.reshape(nwin, C, K)
     first_key = keys3[:, :, 0]
 
     mode = _level0_mode()
@@ -297,7 +310,7 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
             ycat = jnp.concatenate([Y.T, o.neg(Y).T], axis=1)
             qy = jnp.take(
                 ycat, flat + sgnT * NP, axis=1).reshape(ncoord, K, L)
-            valid = ~inf_in[flat].reshape(K, L)
+            valid = ~inf3.transpose(2, 0, 1).reshape(K, L)
             changed = jnp.concatenate(
                 [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
             # prefix saved when a segment that STARTED the chunk ends:
@@ -322,7 +335,7 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
                                 first_key, cur_key, B, nwin, K, w_idx,
                                 limb_major_buf=True)
 
-    buf = ec.point_inf(spec, (K, nwin, C))
+    buf = ec.proj_point_inf(spec, (K, nwin, C))
 
     def step(t, state):
         run, cur_key, prefix, buf = state
@@ -333,9 +346,15 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
         qy = jnp.take(Y, flat, axis=0).reshape((nwin, C) + Y.shape[1:])
         sgn = jax.lax.dynamic_index_in_dim(sgn3, t, axis=2, keepdims=False)
         qy = o.select(sgn, o.neg(qy), qy)
-        v_valid = ~inf_in[flat].reshape(nwin, C)
+        v_valid = ~jax.lax.dynamic_index_in_dim(
+            inf3, t, axis=2, keepdims=False)
         one = o.one_like(qx)
-        v_jac = (qx, qy, o.select(v_valid, one, o.zeros_like(one)))
+        zero = o.zeros_like(one)
+        # fresh segment start: Q lifted to projective (x, y, 1), or the
+        # identity (0, 1, 0) for infinity input points
+        v_pt = (o.select(v_valid, qx, zero),
+                o.select(v_valid, qy, one),
+                o.select(v_valid, one, zero))
         changed = k != cur_key
         is_first = cur_key == first_key
         prefix = ec.select_point(spec, changed & is_first, run, prefix)
@@ -344,22 +363,54 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
         buf = tuple(
             jax.lax.dynamic_update_index_in_dim(bc, rc, t, axis=0)
             for bc, rc in zip(buf, run))
-        grown = ec.madd(spec, run, (qx, qy), ~changed & v_valid)
-        run = ec.select_point(spec, changed, v_jac, grown)
+        grown = ec.proj_madd(spec, run, (qx, qy), ~changed & v_valid)
+        run = ec.select_point(spec, changed, v_pt, grown)
         return run, k, prefix, buf
 
-    init = (ec.point_inf(spec, (nwin, C)), first_key,
-            ec.point_inf(spec, (nwin, C)), buf)
+    init = (ec.proj_point_inf(spec, (nwin, C)), first_key,
+            ec.proj_point_inf(spec, (nwin, C)), buf)
     run, cur_key, prefix, buf = jax.lax.fori_loop(0, K, step, init)
     return _level0_tail(spec, sortedb, buf, run, prefix, first_key,
                         cur_key, B, nwin, K, w_idx)
 
 
+_HIST_RADIX = 64
+
+
+def _bucket_bounds(sortedb, B: int):
+    """searchsorted(sortedb, arange(B), left/right) without binary search.
+
+    The vmapped two-sided searchsorted on (nwin, N) keys measured ~54 ms
+    per 2^16 MSM on v5e (binary-search while loops + per-probe gathers) —
+    more than the entire level-0 fold kernel. Replacement: exact bucket
+    histogram via a one-hot x one-hot MXU matmul (counts <= N < 2^24 are
+    exact in f32), then starts = exclusive cumsum, ends = starts + counts.
+    ~1 ms for the same shapes, and the only MXU use in the MSM.
+    """
+    nwin, N = sortedb.shape
+    R = _HIST_RADIX
+    nhi = -(-(B + 1) // R)  # ids 0..B (B = padding sentinel)
+    hi = sortedb >> np.int32(R.bit_length() - 1)
+    lo = sortedb & np.int32(R - 1)
+    oh_hi = (hi[..., None] == jnp.arange(nhi, dtype=jnp.int32)).astype(
+        jnp.bfloat16)
+    oh_lo = (lo[..., None] == jnp.arange(R, dtype=jnp.int32)).astype(
+        jnp.bfloat16)
+    hist = jnp.einsum("wnh,wnl->whl", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
+    counts = hist.reshape(nwin, nhi * R)[:, :B].astype(jnp.int32)
+    starts = jnp.cumsum(counts, axis=1) - counts
+    return starts, starts + counts
+
+
 def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
                  cur_key, B: int, nwin: int, K: int, w_idx,
-                 limb_major_buf: bool = False):
-    """Shared level-0 epilogue: single-segment prefix fix, interior-segment
-    readback from the dense buffer, boundary (prefix, suffix) stream.
+                 limb_major_buf: bool = False, prev_buckets=None):
+    """Shared fold-level epilogue: single-segment prefix fix, interior-
+    segment readback from the dense buffer, boundary (prefix, suffix)
+    stream. Interior segments are disjoint across levels (a segment fully
+    inside one chunk never reaches the next level's stream), so later
+    levels merge into `prev_buckets` by select.
 
     buf: (K, nwin, C, ncoord) batch-last, or (ncoord, K, nwin, C) when
     limb_major_buf (the megakernel's native layout)."""
@@ -367,11 +418,7 @@ def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
     prefix = ec.select_point(spec, single, run, prefix)
 
     # interior-segment placement from the sorted keys
-    bids = jnp.arange(B, dtype=jnp.int32)
-    starts = jax.vmap(
-        lambda sb: jnp.searchsorted(sb, bids, side="left"))(sortedb)
-    ends = jax.vmap(
-        lambda sb: jnp.searchsorted(sb, bids, side="right"))(sortedb)
+    starts, ends = _bucket_bounds(sortedb, B)
     end_idx = ends - 1
     interior = ((ends > starts) & (starts // K == end_idx // K)
                 & (starts % K != 0) & (end_idx % K != K - 1))
@@ -382,13 +429,14 @@ def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
             bc[:, t_idx, w_idx, c_idx].transpose(1, 2, 0) for bc in buf)
     else:
         gathered = tuple(bc[t_idx, w_idx, c_idx] for bc in buf)
-    buckets = ec.select_point(spec, interior, gathered,
-                              ec.point_inf(spec, (nwin, B)))
+    if prev_buckets is None:
+        prev_buckets = ec.proj_point_inf(spec, (nwin, B))
+    buckets = ec.select_point(spec, interior, gathered, prev_buckets)
 
     C = first_key.shape[1]
     suf_key = jnp.where(single, first_key, cur_key)
-    suffix = ec.select_point(spec, single, ec.point_inf(spec, (nwin, C)),
-                             run)
+    suffix = ec.select_point(
+        spec, single, ec.proj_point_inf(spec, (nwin, C)), run)
     keys = jnp.stack([first_key, suf_key], axis=2).reshape(nwin, 2 * C)
     vals = tuple(
         jnp.stack([p, s], axis=2).reshape((nwin, 2 * C) + p.shape[2:])
@@ -397,7 +445,7 @@ def _level0_tail(spec: CurveSpec, sortedb, buf, run, prefix, first_key,
 
 
 def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
-                       X, Y, inf_in, B: int, nwin: int):
+                       sorted_inf, X, Y, B: int, nwin: int):
     """Chunked segmented reduction of sorted (bucket, point) streams into
     (nwin, B) Jacobian bucket sums. See _pippenger_signed docstring.
 
@@ -413,12 +461,83 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
     dynamic_update_slices.
 
     Later levels fold the 2-per-chunk (prefix, suffix) boundary streams —
-    geometrically shrinking — with the original scatter-set writes.
+    geometrically shrinking — through the same fold megakernel with
+    projective stream values (TPU), falling back to a fori_loop with
+    scatter-set writes (CPU / Fq2).
     """
     K = CHUNK_K
-    state0 = _level0_accumulate(spec, order, sortedb, sorted_sign, X, Y,
-                                inf_in, B, nwin)
+    state0 = _level0_accumulate(spec, order, sortedb, sorted_sign,
+                                sorted_inf, X, Y, B, nwin)
     keys, vals, buckets = state0["keys"], state0["vals"], state0["buckets"]
+
+    mode = _level0_mode()
+    if mode in ("mega", "mega-interp") and spec.ops.coord_ndim == 1:
+        from . import pallas_ec
+
+        while True:
+            C = -(-keys.shape[1] // K)
+            if C == 1 or pallas_ec.lm_geometry(nwin * C) is None:
+                break
+            keys, vals, buckets = _fold_level_mega(
+                spec, keys, vals, buckets, B, nwin, K,
+                interpret=(mode == "mega-interp"))
+    return _fold_levels_xla(spec, keys, vals, buckets, B, nwin)
+
+
+def _fold_level_mega(spec: CurveSpec, keys, vals, buckets, B: int,
+                     nwin: int, K: int, interpret: bool):
+    """One boundary-stream fold level through the projective megakernel:
+    pad to a K multiple, build step-major limb-major slabs, run the fused
+    fold, merge interior segments into `buckets`, emit the next stream."""
+    from . import pallas_ec
+
+    n = spec.ops.field.nlimbs
+    M = keys.shape[1]
+    Mp = -(-M // K) * K
+    if Mp != M:
+        keys = jnp.concatenate(
+            [keys, jnp.full((nwin, Mp - M), B, keys.dtype)], axis=1)
+        inf = ec.proj_point_inf(spec, (nwin, Mp - M))
+        vals = tuple(
+            jnp.concatenate([v, i], axis=1) for v, i in zip(vals, inf))
+    C = Mp // K
+    L = nwin * C
+    w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
+    keys3 = keys.reshape(nwin, C, K)
+    keysT = keys3.transpose(2, 0, 1).reshape(K, L)
+    first_key = keys3[:, :, 0]
+    # slabs (n, K, L): slab[:, t, w*C + c] = vals[w, c*K + t]
+    slabs = tuple(
+        v.reshape(nwin, C, K, n).transpose(3, 2, 0, 1).reshape(n, K, L)
+        for v in vals)
+    valid = jnp.any(vals[2] != 0, axis=-1)  # identity entries: Z == 0
+    validT = valid.reshape(nwin, C, K).transpose(2, 0, 1).reshape(K, L)
+    changed = jnp.concatenate(
+        [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
+    isfirst = jnp.concatenate(
+        [jnp.ones((1, L), bool), keysT[:-1] == keysT[0:1]], axis=0)
+    flags = (changed.astype(jnp.uint32)
+             | (validT.astype(jnp.uint32) << 1)
+             | ((changed & isfirst).astype(jnp.uint32) << 2))
+    buf, run, prefix = pallas_ec.proj_fold(
+        spec, slabs[0], slabs[1], slabs[2], flags, K, interpret=interpret)
+    buf = tuple(x.reshape(n, K, nwin, C) for x in buf)
+    run = tuple(x.reshape(n, nwin, C).transpose(1, 2, 0) for x in run)
+    prefix = tuple(
+        x.reshape(n, nwin, C).transpose(1, 2, 0) for x in prefix)
+    cur_key = keysT[K - 1].reshape(nwin, C)
+    st = _level0_tail(spec, keys, buf, run, prefix, first_key, cur_key,
+                      B, nwin, K, w_idx, limb_major_buf=True,
+                      prev_buckets=buckets)
+    return st["keys"], st["vals"], st["buckets"]
+
+
+def _fold_levels_xla(spec: CurveSpec, keys, vals, buckets, B: int,
+                     nwin: int):
+    """Boundary-stream folding to completion with fori_loop steps and
+    scatter-set bucket writes (the non-megakernel path, and the final
+    C == 1 level of the megakernel path)."""
+    K = CHUNK_K
     w_idx = jnp.arange(nwin, dtype=jnp.int32)[:, None]
 
     while True:
@@ -427,7 +546,7 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
         if Mp != M:
             keys = jnp.concatenate(
                 [keys, jnp.full((nwin, Mp - M), B, keys.dtype)], axis=1)
-            inf = ec.point_inf(spec, (nwin, Mp - M))
+            inf = ec.proj_point_inf(spec, (nwin, Mp - M))
             vals = tuple(
                 jnp.concatenate([v, i], axis=1)
                 for v, i in zip(vals, inf)
@@ -457,13 +576,13 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
             )
             addend = ec.select_point(
                 spec, ~changed & v_valid, v_jac,
-                ec.point_inf(spec, v_jac[0].shape[:2]))
-            grown = ec.add(spec, run, addend)
+                ec.proj_point_inf(spec, v_jac[0].shape[:2]))
+            grown = ec.proj_add(spec, run, addend)
             run = ec.select_point(spec, changed, v_jac, grown)
             return run, k, prefix, buckets
 
-        init = (ec.point_inf(spec, (nwin, C)), first_key,
-                ec.point_inf(spec, (nwin, C)), buckets)
+        init = (ec.proj_point_inf(spec, (nwin, C)), first_key,
+                ec.proj_point_inf(spec, (nwin, C)), buckets)
         run, cur_key, prefix, buckets = jax.lax.fori_loop(
             0, K, step, init)
 
@@ -488,7 +607,7 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
         # single-segment chunks emit an identity suffix on the same key
         suf_key = jnp.where(single, first_key, cur_key)
         suffix = ec.select_point(
-            spec, single, ec.point_inf(spec, (nwin, C)), run)
+            spec, single, ec.proj_point_inf(spec, (nwin, C)), run)
         keys = jnp.stack([first_key, suf_key], axis=2).reshape(nwin, 2 * C)
         vals = tuple(
             jnp.stack([p, s], axis=2).reshape((nwin, 2 * C) + p.shape[2:])
@@ -497,30 +616,32 @@ def _bucket_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
 
 
 def _suffix_sums(spec: CurveSpec, pts):
-    """suffix[i] = sum_{j >= i} pts[j] along axis 1, log-depth shift-adds."""
+    """suffix[i] = sum_{j >= i} pts[j] along axis 1, log-depth shift-adds
+    (projective points, identity padding)."""
     width = pts[0].shape[1]
-    inf = ec.point_inf(spec, pts[0].shape[:1] + (width,))
+    inf = ec.proj_point_inf(spec, pts[0].shape[:1] + (width,))
     s = 1
     while s < width:
         shifted = tuple(
             jnp.concatenate([x[:, s:], i[:, :s]], axis=1)
             for x, i in zip(pts, inf)
         )
-        pts = ec.add(spec, pts, shifted)
+        pts = ec.proj_add(spec, pts, shifted)
         s *= 2
     return pts
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _horner_combine(spec: CurveSpec, window_sums, c: int):
-    """sum_w 2^(c*w) W_w, scanning from the top window down. One fused
-    [2^c]acc + W kernel launch per window on TPU (dispatch-bound at 1-lane
-    shapes otherwise)."""
+    """sum_w 2^(c*w) W_w, scanning from the top window down (projective
+    in, projective out). One fused [2^c]acc + W kernel launch per window
+    on TPU (dispatch-bound at 1-lane shapes otherwise)."""
     rev = tuple(x[::-1] for x in window_sums)
 
     def body(acc, w):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: ec.double(spec, a), acc)
-        return ec.add(spec, acc, w), None
+        acc = jax.lax.fori_loop(
+            0, c, lambda _, a: ec.proj_double(spec, a), acc)
+        return ec.proj_add(spec, acc, w), None
 
     top = tuple(x[0] for x in rev)
     rest = tuple(x[1:] for x in rev)

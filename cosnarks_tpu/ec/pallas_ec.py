@@ -49,6 +49,10 @@ class LaneOps:
     def sub(self, a, b):
         return tuple(pm.sub_lanes(self.field, list(a), list(b)))
 
+    def neg(self, a):
+        zero = [jnp.zeros_like(x) for x in a]
+        return tuple(pm.sub_lanes(self.field, zero, list(a)))
+
     def double(self, a):
         return self.add(a, a)
 
@@ -218,7 +222,8 @@ def _wreduce_call(spec: CurveSpec, nwin: int, W: int):
         with static rolls."""
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         zero = tuple(jnp.zeros(shape, jnp.uint32) for _ in range(n))
-        inf = (kspec.ops.one_like(zero), kspec.ops.one_like(zero), zero)
+        # projective identity (0 : 1 : 0)
+        inf = (zero, kspec.ops.one_like(zero), zero)
         nlev = max(1, (width - 1).bit_length())
 
         def shifted_add(pts, s, amount):
@@ -227,7 +232,7 @@ def _wreduce_call(spec: CurveSpec, nwin: int, W: int):
                 tuple(jnp.where(keep, pltpu.roll(x, amount, 1), i)
                       for x, i in zip(c, ic))
                 for c, ic in zip(pts, inf))
-            return ec.add(kspec, pts, shifted)
+            return ec.proj_add(kspec, pts, shifted)
 
         if shape[1] % 128 == 0:
             def body(t, pts):
@@ -247,7 +252,7 @@ def _wreduce_call(spec: CurveSpec, nwin: int, W: int):
         m = L
         while m > 1:
             half = m // 2
-            cols = ec.add(
+            cols = ec.proj_add(
                 kspec,
                 tuple(tuple(x[:half] for x in c) for c in cols),
                 tuple(tuple(x[half:m] for x in c) for c in cols))
@@ -263,8 +268,9 @@ def _wreduce_call(spec: CurveSpec, nwin: int, W: int):
         u = ladder(ladder(rows, L, (1, L)), L, (1, L))
         w1 = tuple(tuple(x[0:1, 1:2] for x in c) for c in u)
         w1 = jax.lax.fori_loop(
-            0, H.bit_length() - 1, lambda _, a: ec.double(kspec, a), w1)
-        X3, Y3, Z3 = ec.add(kspec, w1, w2)
+            0, H.bit_length() - 1, lambda _, a: ec.proj_double(kspec, a),
+            w1)
+        X3, Y3, Z3 = ec.proj_add(kspec, w1, w2)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         for ref, limbs in ((ox, X3), (oy, Y3), (oz, Z3)):
             # (8, n) block: rows are sublane padding (Mosaic wants the
@@ -332,8 +338,8 @@ def lm_geometry(L: int) -> tuple[int, int] | None:
 
 @functools.lru_cache(maxsize=None)
 def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
-                 interpret: bool):
-    """The MSM level-0 bucket-accumulation megakernel, limb-major.
+                 interpret: bool, proj_q: bool = False):
+    """The MSM bucket-accumulation fold megakernel, limb-major.
 
     One pallas_call runs ALL K sequential fold steps for every lane: grid
     (cells, K) with t innermost, the running sum and prefix carried in
@@ -341,13 +347,19 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
     rounds of {gather, madd kernel, dense-buffer dynamic_update} whose
     per-dispatch overhead dominated level-0 (~60% of MSM wall time at
     2^16): operands arrive as pre-gathered limb-major slabs the pipeline
-    DMA-streams, and the only compute is the fused complete mixed-add.
+    DMA-streams, and the only compute is the fused complete add.
 
-    Inputs per (cell, t): qx, qy slabs (n, 1, R, C); flags (1, R, C)
-    uint32 with bit0 = changed (new segment starts at t), bit1 = point
-    valid, bit2 = save-prefix (segment that started the chunk ended).
-    Outputs: buf (n, K, rows, C) running-sum dump (pre-update, slot t),
-    run/prefix (n, rows, C) final per-lane states. rows = L // C.
+    Level 0 (proj_q=False): qx, qy affine slabs (n, 1, R, C), fused RCB
+    complete mixed add. Later levels (proj_q=True): qx, qy, qz projective
+    boundary-stream slabs, fused RCB complete general add (the stream
+    carries identities for single-segment chunks, which the complete
+    formulas absorb with no masking).
+
+    Flags (1, R, C) uint32: bit0 = changed (new segment starts at t),
+    bit1 = point valid, bit2 = save-prefix (segment that started the
+    chunk ended). Outputs: buf (n, K, rows, C) running-sum dump
+    (pre-update, slot t), run/prefix (n, rows, C) final per-lane states.
+    rows = L // C.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -355,22 +367,27 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
     n = spec.ops.field.nlimbs
     kspec = _lane_spec(spec)
     rows = L // C
+    nq = 3 if proj_q else 2
 
-    def kernel(qx, qy, fl, bufx, bufy, bufz, runo_x, runo_y, runo_z,
-               pre_x, pre_y, pre_z, *scratch):
-        rx, ry, rz, px, py, pz = scratch
+    def kernel(*refs):
+        qrefs = refs[:nq]
+        fl = refs[nq]
+        bufx, bufy, bufz = refs[nq + 1: nq + 4]
+        runo = refs[nq + 4: nq + 7]
+        preo = refs[nq + 7: nq + 10]
+        rx, ry, rz, px, py, pz = refs[nq + 10:]
         t = pl.program_id(1)
 
         @pl.when(t == 0)
         def _init():
-            # infinity = (1, 1, 0) in Montgomery form; the one() constant
-            # is built limb-row-wise (array constants don't lower)
+            # projective identity = (0, 1, 0) in Montgomery form; the one()
+            # constant is built limb-row-wise (array constants don't lower)
             zero_l = tuple(jnp.zeros((R, C), jnp.uint32)
                            for _ in range(n))
             one_l = kspec.ops.one_like(zero_l)
-            for ref in (rx, ry, px, py):
+            for ref in (ry, py):
                 _store_lm(ref, one_l)
-            for ref in (rz, pz):
+            for ref in (rx, rz, px, pz):
                 _store_lm(ref, zero_l)
 
         flags = fl[0]  # (R, C)
@@ -379,8 +396,7 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
         save_prefix = (flags & 4) != 0
 
         run = (_load_lm(rx, n), _load_lm(ry, n), _load_lm(rz, n))
-        Q = (tuple(qx[i, 0] for i in range(n)),
-             tuple(qy[i, 0] for i in range(n)))
+        Q = tuple(tuple(q[i, 0] for i in range(n)) for q in qrefs)
 
         # prefix capture (run BEFORE this step's fold)
         pre = (_load_lm(px, n), _load_lm(py, n), _load_lm(pz, n))
@@ -391,20 +407,32 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
             for i in range(n):
                 ref[i, 0] = limbs[i]
 
-        grown = ec.madd(kspec, run, Q, ~changed & valid)
         one_l = kspec.ops.one_like(Q[0])
-        v_jac = (Q[0], Q[1],
-                 kspec.ops.select(valid, one_l,
-                                  kspec.ops.zeros_like(one_l)))
-        run = ec.select_point(kspec, changed, v_jac, grown)
+        zero_l = kspec.ops.zeros_like(one_l)
+        if proj_q:
+            # Q already projective (identities included); adding the
+            # identity is a no-op under the complete formulas, so the
+            # addend only needs masking on `changed` lanes
+            addend = ec.select_point(
+                kspec, ~changed & valid, Q, (zero_l, one_l, zero_l))
+            grown = ec.proj_add(kspec, run, addend)
+            v_pt = Q
+        else:
+            grown = ec.proj_madd(kspec, run, Q, ~changed & valid)
+            # fresh segment start: run := Q lifted to projective
+            # (x, y, 1), or the identity if the lane's point is infinity
+            v_pt = (kspec.ops.select(valid, Q[0], zero_l),
+                    kspec.ops.select(valid, Q[1], one_l),
+                    kspec.ops.select(valid, one_l, zero_l))
+        run = ec.select_point(kspec, changed, v_pt, grown)
 
         for ref, limbs in zip((rx, ry, rz), run):
             _store_lm(ref, limbs)
         for ref, limbs in zip((px, py, pz), pre):
             _store_lm(ref, limbs)
-        for ref, limbs in zip((runo_x, runo_y, runo_z), run):
+        for ref, limbs in zip(runo, run):
             _store_lm(ref, limbs)
-        for ref, limbs in zip((pre_x, pre_y, pre_z), pre):
+        for ref, limbs in zip(preo, pre):
             _store_lm(ref, limbs)
 
     qspec = pl.BlockSpec((n, 1, R, C), lambda c, t: (0, t, c, 0),
@@ -417,7 +445,7 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
     return pl.pallas_call(
         kernel,
         grid=(rows // R, K),
-        in_specs=[qspec, qspec, fspec],
+        in_specs=[qspec] * nq + [fspec],
         out_specs=(bufspec,) * 3 + (lanespec,) * 6,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n, K, rows, C), jnp.uint32)
@@ -428,7 +456,7 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
         ),
         scratch_shapes=[pltpu.VMEM((n, R, C), jnp.uint32)
                         for _ in range(6)],
-        # the fused complete-madd body holds ~2n product columns of the
+        # the fused complete-add body holds ~2n product columns of the
         # Montgomery pipeline live per mul — far over the 16 MB default
         # scoped-vmem limit at 8K lanes (v5e VMEM is 128 MB)
         compiler_params=pltpu.CompilerParams(
@@ -464,6 +492,131 @@ def level0_fold(spec: CurveSpec, qx, qy, flags, K: int,
     run = tuple(x.reshape(n, L) for x in out[3:6])
     prefix = tuple(x.reshape(n, L) for x in out[6:9])
     return buf, run, prefix
+
+
+def proj_fold(spec: CurveSpec, qx, qy, qz, flags, K: int,
+              interpret: bool = False):
+    """Run the boundary-stream fold megakernel (later MSM levels).
+
+    qx, qy, qz: (n, K, L) limb-major projective stream values in
+    step-major order; flags as in level0_fold. Returns (buf, run, prefix)
+    like level0_fold. Caller must check lm_geometry(L) is not None."""
+    n, _, L = qx.shape
+    R, C = lm_geometry(L)
+    rows = L // C
+    out = _level0_call(spec, L, K, R, C, interpret, proj_q=True)(
+        qx.reshape(n, K, rows, C), qy.reshape(n, K, rows, C),
+        qz.reshape(n, K, rows, C), flags.reshape(K, rows, C))
+    buf = tuple(x.reshape(n, K, L) for x in out[0:3])
+    run = tuple(x.reshape(n, L) for x in out[3:6])
+    prefix = tuple(x.reshape(n, L) for x in out[6:9])
+    return buf, run, prefix
+
+
+@functools.lru_cache(maxsize=None)
+def _proj_op_call(spec: CurveSpec, op: str, rows: int, R: int, C: int,
+                  masked: bool):
+    """Fused limb-major RCB projective point op over a flat lane batch.
+
+    op: "add" (6 coord inputs), "madd" (5), "double" (3); masked appends
+    one (rows, C) uint32 validity plane (madd only). Outputs 3 coords.
+    Limb-major (n, rows, C) slabs: 1-D row-major tiles measured 6.6x
+    slower (ff/pallas_mont.py geometry notes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = spec.ops.field.nlimbs
+    kspec = _lane_spec(spec)
+    n_coord = {"add": 6, "madd": 5, "double": 3}[op]
+
+    def kernel(*refs):
+        coords = [tuple(r[i] for i in range(n)) for r in refs[:n_coord]]
+        extra = refs[n_coord:-3]
+        ox, oy, oz = refs[-3:]
+        if op == "add":
+            res = ec.proj_add(kspec, tuple(coords[:3]), tuple(coords[3:]))
+        elif op == "madd":
+            valid = (extra[0][:] != 0) if masked else None
+            res = ec.proj_madd(kspec, tuple(coords[:3]),
+                               tuple(coords[3:5]), valid)
+        else:
+            res = ec.proj_double(kspec, tuple(coords[:3]))
+        for r, limbs in zip((ox, oy, oz), res):
+            for i in range(n):
+                r[i] = limbs[i]
+
+    cspec = pl.BlockSpec((n, R, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((R, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [cspec] * n_coord + ([mspec] if masked else [])
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // R,),
+        in_specs=in_specs,
+        out_specs=(cspec,) * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n, rows, C), jnp.uint32)
+            for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+
+def _lm_pack(coords, n):
+    """(batch..., n) coord arrays -> limb-major (n, rows, C) + geometry."""
+    shape = coords[0].shape[:-1]
+    total = max(1, int(np.prod(shape, dtype=np.int64)))
+    C = 512 if total >= 512 else 128
+    rows = -(-total // C)
+    R = min(16, max(8, 1 << (rows - 1).bit_length()))
+    pad = rows * C - total
+    rpad = -rows % R
+    flat = []
+    for c in coords:
+        f = c.reshape(total, n)
+        if pad:
+            f = jnp.concatenate([f, jnp.zeros((pad, n), jnp.uint32)])
+        f = f.T.reshape(n, rows, C)
+        if rpad:
+            f = jnp.concatenate(
+                [f, jnp.zeros((n, rpad, C), jnp.uint32)], axis=1)
+        flat.append(f)
+    return flat, shape, total, R, C, rows + rpad
+
+
+def _lm_unpack(out, shape, total, n):
+    return tuple(
+        o.reshape(n, -1).T[:total].reshape(shape + (n,)) for o in out)
+
+
+def proj_add(spec: CurveSpec, P, Q):
+    n = spec.ops.field.nlimbs
+    flat, shape, total, R, C, rows = _lm_pack(list(P) + list(Q), n)
+    out = _proj_op_call(spec, "add", rows, R, C, False)(*flat)
+    return _lm_unpack(out, shape, total, n)
+
+
+def proj_madd(spec: CurveSpec, P, Q_affine, valid=None):
+    n = spec.ops.field.nlimbs
+    flat, shape, total, R, C, rows = _lm_pack(
+        list(P) + list(Q_affine), n)
+    masked = valid is not None
+    if masked:
+        v = valid.astype(jnp.uint32).reshape(total)
+        pad = rows * C - total
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.uint32)])
+        flat.append(v.reshape(rows, C))
+    out = _proj_op_call(spec, "madd", rows, R, C, masked)(*flat)
+    return _lm_unpack(out, shape, total, n)
+
+
+def proj_double(spec: CurveSpec, P):
+    n = spec.ops.field.nlimbs
+    flat, shape, total, R, C, rows = _lm_pack(list(P), n)
+    out = _proj_op_call(spec, "double", rows, R, C, False)(*flat)
+    return _lm_unpack(out, shape, total, n)
 
 
 DEFAULT_TILE = 512

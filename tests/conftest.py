@@ -18,11 +18,20 @@ import jax
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the env
 # var above — override it back so tests run on the virtual-8-device CPU.
 jax.config.update("jax_platforms", "cpu")
-# own cache dir: sharing one with concurrently-running TPU processes can
-# deadlock reads when another process is mid-write (seen as indefinite
-# hangs inside pjit cache_miss during full-suite runs)
-jax.config.update("jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The persistent compile cache is DISABLED for the suite by default: the
+# serialization write path (compilation_cache.put_executable_and_time ->
+# zstandard compress) segfaults reproducibly ~60 tests into a full-suite
+# run (same test, same stack, fresh cache dir; passes in isolation), i.e.
+# it depends on accumulated in-process XLA state. Opt back in with
+# COSNARKS_TEST_CACHE=1 for single-module iteration where it is safe and
+# saves recompiles.
+if os.environ.get("COSNARKS_TEST_CACHE"):
+    # own cache dir: sharing one with concurrently-running TPU processes
+    # can deadlock reads when another process is mid-write (seen as
+    # indefinite hangs inside pjit cache_miss during full-suite runs)
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/cosnarks_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 
