@@ -301,15 +301,24 @@ def _level0_accumulate(spec: CurveSpec, order, sortedb, sorted_sign,
             keysT = keys3.transpose(2, 0, 1).reshape(K, L)
             flat = pos3.transpose(2, 0, 1).reshape(-1)
             sgnT = sgn3.transpose(2, 0, 1).reshape(-1)
-            # limb-major slabs, gathered along the element axis of the
-            # transposed point table — the gather WRITES limb-major, no
-            # (K, L, n) -> (n, K, L) transpose pass needed. The sign
-            # select is folded into the same gather: the source holds
-            # [Y | -Y] and negative digits index the second half.
-            qx = jnp.take(X.T, flat, axis=1).reshape(ncoord, K, L)
-            ycat = jnp.concatenate([Y.T, o.neg(Y).T], axis=1)
+            # The random point gather is HBM-latency-bound (~150 ms/GB
+            # at 2^20 regardless of layout — measured equal for row- and
+            # limb-major), so HALVE its volume: pack two 16-bit limbs
+            # per u32 before gathering; the megakernel unpacks on the
+            # VPU. The sign select is folded into the gather: the source
+            # holds [Y ; -Y] and negative digits index the second half.
+            if ncoord % 2 == 0:
+                def pack2(a):  # (N, n) -> (N, n//2)
+                    return a[:, 0::2] | (a[:, 1::2] << 16)
+            else:  # odd limb count: kernel expects unpacked slabs
+                def pack2(a):
+                    return a
+
+            nc2 = -(-ncoord // 2) if ncoord % 2 == 0 else ncoord
+            qx = jnp.take(pack2(X), flat, axis=0).T.reshape(nc2, K, L)
+            ycat = jnp.concatenate([pack2(Y), pack2(o.neg(Y))], axis=0)
             qy = jnp.take(
-                ycat, flat + sgnT * NP, axis=1).reshape(ncoord, K, L)
+                ycat, flat + sgnT * NP, axis=0).T.reshape(nc2, K, L)
             valid = ~inf3.transpose(2, 0, 1).reshape(K, L)
             changed = jnp.concatenate(
                 [jnp.zeros((1, L), bool), keysT[1:] != keysT[:-1]], axis=0)
@@ -675,12 +684,13 @@ def _msm_small(spec: CurveSpec, points, scalars_std):
 
 
 def default_window(n: int) -> int:
-    """Balance accumulation (nwin*N*imbalance) vs reduction (nwin*B*log B):
-    keep average segment length >= ~32 so gather lanes stay busy."""
+    """Balance accumulation (nwin*N mixed adds + gather bytes) vs
+    reduction (~2*nwin*B projective adds). Measured on v5e (projective
+    pipeline): 2^20 prefers c=15 (1286 -> 845 ms vs c=13)."""
     if n >= 1 << 19:
-        return 13
+        return 15
     if n >= 1 << 16:
-        return 12
+        return 13
     if n >= 1 << 13:
         return 10
     return 8

@@ -368,6 +368,7 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
     kspec = _lane_spec(spec)
     rows = L // C
     nq = 3 if proj_q else 2
+    packed = not proj_q and n % 2 == 0  # level-0 q slabs: 2 limbs / u32
 
     def kernel(*refs):
         qrefs = refs[:nq]
@@ -396,7 +397,20 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
         save_prefix = (flags & 4) != 0
 
         run = (_load_lm(rx, n), _load_lm(ry, n), _load_lm(rz, n))
-        Q = tuple(tuple(q[i, 0] for i in range(n)) for q in qrefs)
+        if packed:
+            # q slabs arrive 2 limbs per u32 (halves the dominant HBM
+            # random-gather volume feeding this kernel); unpack on the VPU
+            Q = []
+            for q in qrefs:
+                limbs = []
+                for i in range(n // 2):
+                    w = q[i, 0]
+                    limbs.append(w & np.uint32(0xFFFF))
+                    limbs.append(w >> 16)
+                Q.append(tuple(limbs))
+            Q = tuple(Q)
+        else:
+            Q = tuple(tuple(q[i, 0] for i in range(n)) for q in qrefs)
 
         # prefix capture (run BEFORE this step's fold)
         pre = (_load_lm(px, n), _load_lm(py, n), _load_lm(pz, n))
@@ -435,11 +449,13 @@ def _level0_call(spec: CurveSpec, L: int, K: int, R: int, C: int,
         for ref, limbs in zip(preo, pre):
             _store_lm(ref, limbs)
 
-    qspec = pl.BlockSpec((n, 1, R, C), lambda c, t: (0, t, c, 0),
+    nqrow = n // 2 if packed else n
+    qspec = pl.BlockSpec((nqrow, 1, R, C), lambda c, t: (0, t, c, 0),
                          memory_space=pltpu.VMEM)
     fspec = pl.BlockSpec((1, R, C), lambda c, t: (t, c, 0),
                          memory_space=pltpu.VMEM)
-    bufspec = qspec
+    bufspec = pl.BlockSpec((n, 1, R, C), lambda c, t: (0, t, c, 0),
+                           memory_space=pltpu.VMEM)
     lanespec = pl.BlockSpec((n, R, C), lambda c, t: (0, c, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -478,15 +494,18 @@ def level0_fold(spec: CurveSpec, qx, qy, flags, K: int,
                 interpret: bool = False):
     """Run the level-0 megakernel.
 
-    qx, qy: (n, K, L) limb-major pre-gathered, sign-applied point coords
-    in step-major order; flags: (K, L) uint32 (bit0 changed, bit1 valid,
-    bit2 save-prefix). Returns (buf (n, K, L) x3, run (n, L) x3,
-    prefix (n, L) x3). Caller must check lm_geometry(L) is not None."""
-    n, _, L = qx.shape
+    qx, qy: (n2, K, L) limb-major pre-gathered, sign-applied point
+    coords in step-major order, PACKED 2 limbs per u32 when the field's
+    limb count is even (n2 = n//2, limb 2i in the low half); flags:
+    (K, L) uint32 (bit0 changed, bit1 valid, bit2 save-prefix). Returns
+    (buf (n, K, L) x3, run (n, L) x3, prefix (n, L) x3). Caller must
+    check lm_geometry(L) is not None."""
+    n = spec.ops.field.nlimbs
+    n2, _, L = qx.shape
     R, C = lm_geometry(L)
     rows = L // C
     out = _level0_call(spec, L, K, R, C, interpret)(
-        qx.reshape(n, K, rows, C), qy.reshape(n, K, rows, C),
+        qx.reshape(n2, K, rows, C), qy.reshape(n2, K, rows, C),
         flags.reshape(K, rows, C))
     buf = tuple(x.reshape(n, K, L) for x in out[0:3])
     run = tuple(x.reshape(n, L) for x in out[3:6])

@@ -171,20 +171,22 @@ class Rep3Yao:
         return _GarblerShared(draw)
 
     # -- conversions ----------------------------------------------------
-    def a2y_many(self, xs, circuit_fn, nbits: int | None = None):
-        """Feed replicated shares (AShare or BShare: party i holds
-        components (s_i, s_{i+1})) through `circuit_fn(fancy, in0, in1,
-        in2, const_p_bits)` and return output wires (garblers: zero
-        labels; evaluator: active labels). One garbler->evaluator round.
+    def a2y_joint(self, xs, joint_fn, nbits: int | None = None):
+        """Encode replicated shares (AShare or BShare: party i holds
+        components (s_i, s_{i+1})) as Yao wires and run ONE circuit over
+        all of them: `joint_fn(fancy, triples, const_p_bits)` receives
+        the full list of (in0, in1, in2) wire bundles and returns a list
+        of output bundles — required for circuits that mix elements
+        (e.g. sorting networks). One garbler->evaluator round.
 
-        Mirrors joint_input_arithmetic_added + GarbledCircuits adders
+        Mirrors joint_input_arithmetic_added + GarbledCircuits
         (yao.rs:421-431, yao/circuits.rs:17-120)."""
         nb = nbits or self.nbits
         pbits = [(self.p >> i) & 1 for i in range(nb + 2)]
         if self.id in (0, 1):
             sh = self._garbler_shared()
             g = Garbler(sh)
-            outs = []
+            triples = []
             sends = []  # active labels this garbler is responsible for
             for x in xs:
                 if self.id == 0:
@@ -200,7 +202,8 @@ class Rep3Yao:
                     z2, a2 = g.encode(x2, nb)
                     z0, _ = g.encode(0, nb)
                     sends.extend(a2)
-                outs.append(circuit_fn(g, z0, z1, z2, pbits))
+                triples.append((z0, z1, z2))
+            outs = joint_fn(g, triples, pbits)
             if self.id == 0:
                 self.net.send(2, (g.circuit_bytes(), sends))
             else:
@@ -210,7 +213,7 @@ class Rep3Yao:
         circuit, labels0 = self.net.recv(0)
         labels1 = self.net.recv(1)
         ev = Evaluator(circuit)
-        outs = []
+        triples = []
         i0 = i1 = 0
         for x in xs:
             a1 = labels0[i0:i0 + nb]
@@ -220,8 +223,20 @@ class Rep3Yao:
             i1 += nb
             # check consistency with own share components (x2, x0 known):
             # labels are opaque; trust the semi-honest garblers
-            outs.append(circuit_fn(ev, a0, a1, a2, pbits))
-        return outs
+            triples.append((a0, a1, a2))
+        return joint_fn(ev, triples, pbits)
+
+    def a2y_many(self, xs, circuit_fn, nbits: int | None = None):
+        """Per-element variant: `circuit_fn(fancy, in0, in1, in2,
+        const_p_bits)` applied to each share independently within one
+        garbling session."""
+        return self.a2y_joint(
+            xs,
+            lambda f, triples, pbits: [
+                circuit_fn(f, t0, t1, t2, pbits) for t0, t1, t2 in triples
+            ],
+            nbits=nbits,
+        )
 
     def y2b_many(self, wires_many: list[list[int]]) -> list[BShare]:
         """Yao wires -> Rep3 binary shares without revealing anything:

@@ -111,6 +111,63 @@ def xor_bundles_3(f, in0, in1, in2, _pbits=None):
     return [vxor(f, vxor(f, a, b), c) for a, b, c in zip(in0, in1, in2)]
 
 
+def unsigned_gt(f, xs, ys):
+    """1 iff value(xs) > value(ys): the borrow-out of ys - xs
+    (circuits.rs unsigned_gt via bin_subtraction_get_carry_only)."""
+    borrow = False
+    for a, b in zip(ys, xs):
+        _, borrow = full_sub(f, a, b, borrow)
+    return borrow
+
+
+def batcher_sort_bundles(f, elems):
+    """In-place ascending Batcher odd-even merge sort over equal-width
+    bit bundles (circuits.rs batcher_odd_even_merge_sort_inner).
+
+    Each compare-exchange: one unsigned_gt (1 AND/bit) + a cmux swap
+    (1 AND/bit): lhs' = (cmp & (l^r)) ^ l, rhs' = (l^r) ^ lhs'."""
+    n = len(elems)
+    if n <= 1:
+        return elems
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(min(k, n - j - k)):
+                    if (i + j) // (2 * p) != (i + j + k) // (2 * p):
+                        continue
+                    lhs = elems[i + j]
+                    rhs = elems[i + j + k]
+                    cmp = unsigned_gt(f, lhs, rhs)
+                    lo, hi = [], []
+                    for a, b in zip(lhs, rhs):
+                        x = vxor(f, a, b)
+                        l2 = vxor(f, vand(f, cmp, x), a)
+                        lo.append(l2)
+                        hi.append(vxor(f, x, l2))
+                    elems[i + j] = lo
+                    elems[i + j + k] = hi
+            k >>= 1
+        p <<= 1
+    return elems
+
+
+def batcher_sort_mod_p(f, triples, pbits, bitsize):
+    """Joint circuit for the Rep3 field sort gadget: recombine each
+    element's three additive shares mod p, truncate to the low `bitsize`
+    bits, sort the truncated values ascending (circuits.rs
+    batcher_odd_even_merge_sort, minus the in-circuit field composition
+    — the caller composes via y2b + b2a instead of wires_c)."""
+    elems = [
+        adder_mod_p_3(f, t0, t1, t2, pbits)[:bitsize]
+        for t0, t1, t2 in triples
+    ]
+    batcher_sort_bundles(f, elems)
+    any_wires = [w for t in triples for w in t[0]]
+    return [_materialize(f, e, any_wires) for e in elems]
+
+
 def _materialize(f, bits, any_wires):
     """Replace constant outputs with real wires (y2b needs colors).
 

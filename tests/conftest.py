@@ -63,3 +63,19 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return random.Random(0xC05)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_per_module():
+    """Release each module's compiled executables when it finishes.
+
+    A full-suite run accumulates every jitted program of ~250 tests in
+    one process; on hosts with the default vm.max_map_count (65530) the
+    mapping count eventually exhausts and XLA aborts/segfaults mid-
+    compile (seen deterministically ~60 tests in). Modules share almost
+    no jit cache entries, so per-module teardown costs nothing."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -127,3 +127,40 @@ def test_y2a_roundtrip():
     for i, v in enumerate(values):
         got = Rep3Scalar.combine([r[i] for r in res], P)
         assert got == v
+
+
+def test_batcher_sort_plain_semantics():
+    """The sort network on constant bundles equals python sorted()."""
+    f = PlainFancy()
+    for n in (1, 2, 3, 5, 8, 13):
+        vals = [R.randrange(1 << 10) for _ in range(n)]
+        elems = [[bool((v >> i) & 1) for i in range(10)] for v in vals]
+        yc.batcher_sort_bundles(f, elems)
+        got = [sum((1 << i) for i, b in enumerate(e) if b is True)
+               for e in elems]
+        assert got == sorted(vals)
+
+
+def test_batcher_sort_gadget_3party():
+    """3-party Rep3 field sort via one garbled Batcher network
+    (gadgets/sort.py; mirrors rep3/gadgets/sort.rs:14). Sorts by the low
+    `bitsize` bits and returns the truncated values as field shares."""
+    from cosnarks_tpu.gadgets.sort import batcher_odd_even_merge_sort_yao
+
+    bitsize = 16
+    values = [R.randrange(P) for _ in range(7)] + [0, P - 1]
+    rngs = _keys()
+    shared = [Rep3Scalar.share(v, P) for v in values]
+
+    def party(i):
+        def go(net):
+            proto = Rep3Scalar(net, rngs[i], P)
+            return batcher_odd_even_merge_sort_yao(
+                proto, [s[i] for s in shared], bitsize)
+
+        return go
+
+    res = run_parties([party(0), party(1), party(2)])
+    got = [Rep3Scalar.combine([r[i] for r in res], P)
+           for i in range(len(values))]
+    assert got == sorted(v & ((1 << bitsize) - 1) for v in values)
