@@ -5,18 +5,24 @@ provers (co-groth16/src/groth16.rs:221-288, co-groth16/src/mpc/rep3.rs
 msm_public_points_hs). Algorithm, mapped to static-shape SPMD:
 
  1. signed c-bit window digits (buckets halved: |d| <= 2^(c-1), point
-    negation absorbs the sign — negating y is one field sub)
- 2. per window, sort point indices by bucket id (one XLA sort per window)
-    and compute per-bucket segment starts/lengths (searchsorted)
- 3. bucket accumulation by *segment offset*: iterate t = 0..max_seg_len,
-    each step gathers the t-th point of every (window, bucket) segment and
-    performs one fused complete mixed-add (`pallas madd`, Jacobian +=
-    affine) across all nwin*B lanes. Total work is ~nwin*N mixed adds —
-    the O(N log N) complete-add scans of the naive formulation are gone —
-    and every step is one Pallas custom call over a wide batch.
- 4. weighted bucket reduction  sum_b b*S_b  via two log-depth
-    associative scans over the bucket axis (complete Jacobian adds)
- 5. window Horner combine (c doublings per window) in one jitted scan
+    negation absorbs the sign — negating y is one field sub); the sign
+    and infinity flags ride in the sort payload
+ 2. per window, one XLA unstable sort of packed (bucket|idx|flags) keys;
+    per-bucket segment bounds from an exact one-hot x one-hot MXU matmul
+    histogram + cumsum (a searchsorted binary search costs more than the
+    whole fold kernel)
+ 3. bucket accumulation: the fold megakernel runs all K sequential
+    steps per lane in VMEM with the COMPLETE projective RCB mixed add
+    (11 muls, straight-line — eprint 2015/1060; valid for every input
+    pair on odd-order curves), fed by limb-PACKED random point gathers
+    (2 limbs/u32 — the gather is HBM-latency-bound, so bytes = time).
+    Total work ~nwin*N mixed adds; boundary partials recurse through the
+    same kernel with projective stream operands, shrinking by K/2 per
+    level.
+ 4. weighted bucket reduction  sum_b b*S_b  via row/column tree sums +
+    double suffix ladders (complete projective adds)
+ 5. window Horner combine (c doublings per window) in one jitted scan;
+    one final projective -> Jacobian conversion
 
 Multi-chip: shard the point axis, run steps 1-3 per device on its slice,
 tree-add the (nwin, B) bucket accumulators over the mesh axis, then run
