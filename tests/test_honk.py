@@ -500,3 +500,49 @@ def test_noir_cli_build_and_generate_proof(tmp_path):
     plain = open(f"{d}/plain.proof", "rb").read()
     for k in range(3):
         assert open(f"{d}/proof.{k}", "rb").read() == plain
+
+
+def _co_prove_shamir(name, flavor="keccak"):
+    """3-party (t=1) Shamir co-UltraHonk over LocalNetwork; asserts all
+    parties produce the plain proof (mirrors ShamirCoUltraHonk,
+    co-ultrahonk/src/co_ultra_prover.rs:115)."""
+    import random
+
+    from cosnarks_tpu.honk import co_prover as hco
+    from cosnarks_tpu.honk.shamir_honk import (
+        ShamirHonkDriver, share_proving_key_shamir)
+    from cosnarks_tpu.mpc.net.local import run_parties
+
+    art = acir.load_artifact(f"{REF}/{name}/kat/{name}.json")
+    af = hbuilder.AcirFormat.from_function(art.functions[0])
+    wit = acir.load_witness_stack(f"{REF}/{name}/kat/{name}.gz")
+    witness = [wit.get(i, 0) for i in range(af.max_witness_index + 1)]
+    b = hbuilder.UltraBuilder.create_circuit(af, witness)
+    pk = hpk.create_proving_key(b)
+    crs = hcrs.cached_local_crs(pk.circuit_size)
+    vk = hpk.create_vk(pk, crs)
+    H = ht.HASHERS[flavor]
+    plain_proof, plain_pub = hprover.prove(pk, vk, crs, H)
+    shares = share_proving_key_shamir(pk, random.Random(0x54A317))
+
+    def party(i):
+        def run(net):
+            drv = ShamirHonkDriver(net, random.Random(0xBEEF00 + i))
+            return hco.co_prove(pk, shares[i], vk, crs, H, drv)
+        return run
+
+    res = run_parties([party(i) for i in range(3)])
+    assert res[0][0] == res[1][0] == res[2][0], "parties disagree"
+    assert res[0][0] == plain_proof and res[0][1] == plain_pub
+    assert hverifier.verify(res[0][0], res[0][1], vk, crs.g2_x, H)
+
+
+@pytest.mark.parametrize("flavor", ["keccak", "poseidon2"])
+def test_co_ultrahonk_shamir_small(flavor):
+    _co_prove_shamir("if_then", flavor)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["poseidon", "negative"])
+def test_co_ultrahonk_shamir_corpus(name):
+    _co_prove_shamir(name)
