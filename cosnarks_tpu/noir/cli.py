@@ -255,7 +255,8 @@ def cmd_verify(args):
 
 def cmd_split_proving_key(args):
     """Build the proving key from circuit + witness and split the witness
-    polynomials into 3 Rep3 shares (co-noir.rs SplitProvingKey)."""
+    polynomials into 3 Rep3 or n Shamir shares (co-noir.rs
+    SplitProvingKey / split_proving_key_shamir)."""
     import numpy as np
 
     from ..honk import co_prover as hco
@@ -263,13 +264,23 @@ def cmd_split_proving_key(args):
     wit = acir.load_witness_stack(args.witness)
     pk = _build_pk(args.circuit, [wit.get(i, 0) for i in
                                   range(max(wit) + 1)])
-    shares = hco.share_proving_key(pk, None)
+    if getattr(args, "protocol", "REP3") == "SHAMIR":
+        import random as _random
+
+        from ..honk.shamir_honk import share_proving_key_shamir
+
+        shares = share_proving_key_shamir(
+            pk, _random.SystemRandom())
+        per_entry = lambda col: [[int(s)] for s in col]
+    else:
+        shares = hco.share_proving_key(pk, None)
+        per_entry = lambda col: [[s.a, s.b] for s in col]
     os.makedirs(args.out_dir, exist_ok=True)
     pub_path = os.path.join(args.out_dir, "pk_public.npz")
     _write_public_pk(pk, pub_path)
-    for k in range(3):
+    for k in range(len(shares)):
         out = os.path.join(args.out_dir, f"pk.{k}.shared")
-        entries = {name: [[s.a, s.b] for s in shares[k][name]]
+        entries = {name: per_entry(shares[k][name])
                    for name in hco.SHARED_PK_ENTITIES}
         _write_share_file(out, _FMT_PK, k, entries)
         print(f"wrote {out}")
@@ -372,8 +383,8 @@ def cmd_build_proving_key(args):
 
 
 def cmd_generate_proof(args):
-    """3-party Rep3 collaborative UltraHonk proof from a split proving key
-    (co-noir.rs GenerateProof)."""
+    """Collaborative UltraHonk proof from a split proving key: 3-party
+    Rep3 or n-party threshold Shamir (co-noir.rs GenerateProof)."""
     from ..honk import co_prover as hco
     from ..honk import proving_key as hpk
     from ..honk.co_driver import Rep3HonkDriver
@@ -382,8 +393,13 @@ def cmd_generate_proof(args):
 
     pk = _load_public_pk(args.proving_key_public)
     data = _read_share_file(args.proving_key, _FMT_PK)
-    shared = {name: [AShare(int(a), int(b)) for a, b in entries]
-              for name, entries in data["entries"].items()}
+    shamir = getattr(args, "protocol", "REP3") == "SHAMIR"
+    if shamir:
+        shared = {name: [int(e[0]) for e in entries]
+                  for name, entries in data["entries"].items()}
+    else:
+        shared = {name: [AShare(int(a), int(b)) for a, b in entries]
+                  for name, entries in data["entries"].items()}
     crs = _load_crs(args, pk.circuit_size)
     # VK commitments depend only on the public precomputed polynomials
     vk = hpk.create_vk(pk, crs)
@@ -392,9 +408,19 @@ def cmd_generate_proof(args):
         net = NetworkConfig.from_toml(args.config).connect()
     try:
         with phase("Generate proof"):
-            seed = secrets.token_bytes(32)
-            key_next = net.reshare_backward(seed)
-            drv = Rep3HonkDriver(net, HostRng(seed, key_next))
+            if shamir:
+                import random as _random
+
+                from ..honk.shamir_honk import ShamirHonkDriver
+
+                drv = ShamirHonkDriver(
+                    net, _random.SystemRandom(),
+                    n_parties=net.n_parties,
+                    t=(net.n_parties - 1) // 2)
+            else:
+                seed = secrets.token_bytes(32)
+                key_next = net.reshare_backward(seed)
+                drv = Rep3HonkDriver(net, HostRng(seed, key_next))
             proof, pub = hco.co_prove(pk, shared, vk, crs, H, drv)
         with open(args.out, "wb") as fh:
             fh.write(H.to_buffer(proof))
@@ -544,6 +570,8 @@ def main(argv=None):
     p.add_argument("--circuit", required=True)
     p.add_argument("--witness", required=True, help="nargo witness (.gz)")
     p.add_argument("--out-dir", required=True)
+    p.add_argument("--protocol", default="REP3",
+                   choices=["REP3", "SHAMIR"])
     p.set_defaults(fn=cmd_split_proving_key)
 
     p = sub.add_parser("build-proving-key",
@@ -556,8 +584,10 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.set_defaults(fn=cmd_build_proving_key)
 
-    p = sub.add_parser("generate-proof",
-                       help="3-party Rep3 collaborative UltraHonk proof")
+    p = sub.add_parser(
+        "generate-proof",
+        help="collaborative UltraHonk proof (3-party Rep3 or n-party "
+             "threshold Shamir)")
     p.add_argument("--proving-key", required=True,
                    help="this party's pk.<i>.shared")
     p.add_argument("--proving-key-public", required=True,
@@ -565,6 +595,8 @@ def main(argv=None):
     p.add_argument("--config", required=True, help="network TOML")
     p.add_argument("--out", required=True)
     p.add_argument("--public-input", required=True)
+    p.add_argument("--protocol", default="REP3",
+                   choices=["REP3", "SHAMIR"])
     crs_args(p)
     p.set_defaults(fn=cmd_generate_proof)
 

@@ -546,3 +546,54 @@ def test_co_ultrahonk_shamir_small(flavor):
 @pytest.mark.parametrize("name", ["poseidon", "negative"])
 def test_co_ultrahonk_shamir_corpus(name):
     _co_prove_shamir(name)
+
+
+def test_noir_cli_shamir_pipeline(tmp_path):
+    """split-proving-key --protocol SHAMIR -> 3-party threshold Shamir
+    generate-proof over TCP -> verify; byte-identical to the plain proof
+    (the Shamir arm of co-noir.rs SplitProvingKey/GenerateProof)."""
+    import threading
+
+    from cosnarks_tpu.noir import cli as ncli
+
+    d = str(tmp_path)
+    kat = f"{REF}/if_then/kat"
+    ncli.main(["prove", "--circuit", f"{kat}/if_then.json",
+               "--witness", f"{kat}/if_then.gz", "--out", f"{d}/proof",
+               "--public-input", f"{d}/pub", "--vk", f"{d}/vk",
+               "--hasher", "KECCAK"])
+    ncli.main(["split-proving-key", "--circuit", f"{kat}/if_then.json",
+               "--witness", f"{kat}/if_then.gz", "--out-dir", d,
+               "--protocol", "SHAMIR"])
+    ports = [19660, 19661, 19662]
+    for k in range(3):
+        lines = [f"my_id = {k}", "insecure_plaintext = true"]
+        for j in range(3):
+            lines += ["", "[[parties]]", f"id = {j}",
+                      f'dns_name = "127.0.0.1:{ports[j]}"']
+        (tmp_path / f"party{k}.toml").write_text("\n".join(lines))
+    errs = []
+
+    def party(k):
+        try:
+            ncli.main(["generate-proof", "--protocol", "SHAMIR",
+                       "--proving-key", f"{d}/pk.{k}.shared",
+                       "--proving-key-public", f"{d}/pk_public.npz",
+                       "--config", f"{d}/party{k}.toml",
+                       "--hasher", "KECCAK", "--out", f"{d}/proof.{k}",
+                       "--public-input", f"{d}/pub.{k}"])
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append((k, e))
+
+    threads = [threading.Thread(target=party, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errs, errs
+    proofs = [open(f"{d}/proof.{k}", "rb").read() for k in range(3)]
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert proofs[0] == open(f"{d}/proof", "rb").read()
+    assert ncli.main(["verify", "--proof", f"{d}/proof.0",
+                      "--public-input", f"{d}/pub.0", "--vk", f"{d}/vk",
+                      "--hasher", "KECCAK"]) == 0
