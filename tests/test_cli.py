@@ -12,6 +12,11 @@ BASE = "/root/reference/test_vectors/Groth16/bn254/multiplier2/"
 def run_cli(args, cwd):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    # drop the axon-tunnel trigger: the baked sitecustomize force-selects
+    # the TPU backend whenever PALLAS_AXON_POOL_IPS is set, overriding
+    # JAX_PLATFORMS — a CLI subprocess would then contend for the
+    # single-tenant TPU tunnel and wedge if any other process holds it
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run(
         [sys.executable, "-m", "cosnarks_tpu", *args],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
